@@ -1,0 +1,169 @@
+"""End-to-end offline object training smoke test on the synthetic sphere
+dataset — the minimum end-to-end slice (SURVEY.md §7 step 4), plus the
+multi-device sharded step on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from honerf_tpu.data import RayBatchLoader, load_offline_dataset
+from honerf_tpu.data.synthetic import generate_object_dataset
+from honerf_tpu.models import (
+    ColorConfig,
+    SDFConfig,
+    init_color_params,
+    init_sdf_params,
+    init_se3_refine,
+    init_variance_params,
+)
+from honerf_tpu.render import RenderConfig
+from honerf_tpu.train import (
+    TrainHyper,
+    init_train_state,
+    make_obj_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_obj"))
+    generate_object_dataset(root, n_frames=1, n_views=8, H=48, W=56)
+    return load_offline_dataset(root, "obj", split="train")
+
+
+def small_setup(scene, batch_size=64):
+    sdf_cfg = SDFConfig(kind="obj", n_layers=4, d_hidden=128, d_out=129, skip_in=(2,))
+    color_cfg = ColorConfig(kind="obj", d_feature=128, n_layers=2, d_hidden=64)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, up_sample_steps=2, perturb=1.0)
+    tcfg = TrainHyper(
+        near=0.4, far=1.5, learning_rate=5e-4, end_iter=200, warm_up_end=10,
+        vgg_weight=0.0, batch_size=batch_size,
+    )
+    key = jax.random.PRNGKey(0)
+    params = {
+        "sdf": init_sdf_params(key, sdf_cfg),
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+        "se3_refine": init_se3_refine(len(scene), "obj"),
+    }
+    return sdf_cfg, color_cfg, rcfg, tcfg, params
+
+
+def test_dataset_loads(sphere_scene):
+    assert len(sphere_scene) == 8
+    v = sphere_scene.views[0]
+    assert v.image.shape == (48, 56, 3)
+    assert v.mask.sum() > 50  # sphere visible
+    assert sphere_scene.obj_verts.shape[1] == 3
+
+
+def test_obj_training_reduces_loss(sphere_scene):
+    sdf_cfg, color_cfg, rcfg, tcfg, params = small_setup(sphere_scene)
+    state = init_train_state(params, tcfg)
+    step = jax.jit(make_obj_train_step(sdf_cfg, color_cfg, rcfg, tcfg))
+    loader = RayBatchLoader(sphere_scene, tcfg.batch_size, seed=0)
+    key = jax.random.PRNGKey(42)
+    mask_losses, psnrs = [], []
+    n_steps = 80
+    for i in range(n_steps):
+        batch = loader.get(i % len(sphere_scene))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["loss"]))
+        mask_losses.append(float(metrics["mask_loss"]))
+        psnrs.append(float(metrics["psnr"]))
+    # occupancy converges toward the mask and reconstruction sharpens;
+    # (total loss is eikonal-noise dominated at this tiny scale, so assert
+    # on the two stable signals)
+    assert np.mean(mask_losses[-10:]) < np.mean(mask_losses[:10]) * 0.75
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.0
+    assert int(state["step"]) == n_steps
+
+
+def test_obj_training_sharded_matches_single(sphere_scene):
+    """The same step jitted with the ray axis sharded over 8 CPU devices
+    must produce the same numbers as the unsharded run."""
+    from honerf_tpu.parallel import make_mesh, shard_ray_batch
+
+    sdf_cfg, color_cfg, rcfg, tcfg, params = small_setup(sphere_scene)
+    step = make_obj_train_step(sdf_cfg, color_cfg, rcfg, tcfg)
+    loader = RayBatchLoader(sphere_scene, tcfg.batch_size, seed=3)
+    batch_np = loader.get(0)
+
+    state_a = init_train_state(params, tcfg)
+    jstep = jax.jit(step)
+    key = jax.random.PRNGKey(7)
+    batch_single = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state_a, metrics_a = jstep(state_a, batch_single, key)
+
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    state_b = init_train_state(params, tcfg)
+    batch_sharded = shard_ray_batch(batch_np, mesh)
+    state_b, metrics_b = jstep(state_b, batch_sharded, key)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4
+    )
+    # parameters after the step agree too
+    wa = np.asarray(state_a["params"]["sdf"]["layers"][0]["v"])
+    wb = np.asarray(state_b["params"]["sdf"]["layers"][0]["v"])
+    np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(sphere_scene, tmp_path):
+    from honerf_tpu.train import load_checkpoint, save_checkpoint
+
+    sdf_cfg, color_cfg, rcfg, tcfg, params = small_setup(sphere_scene)
+    state = init_train_state(params, tcfg)
+    path = str(tmp_path / "checkpoints" / "ckpt_000001.npz")
+    save_checkpoint(path, state)
+    loaded = load_checkpoint(path)
+    flat_a = jax.tree.leaves(state)
+    flat_b = jax.tree.leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_torch_checkpoint_converter(tmp_path):
+    """Round-trip: a torch weight-normed net saved in the reference ckpt
+    format converts to our parametrization with identical outputs."""
+    import torch
+    import torch.nn as nn
+
+    from honerf_tpu.models.mlp import apply_linear
+    from honerf_tpu.train import load_torch_checkpoint
+
+    torch.manual_seed(0)
+    lin0 = nn.utils.weight_norm(nn.Linear(8, 4))
+    sdf_sd = {
+        "lin0.weight_v": lin0.weight_v.detach(),
+        "lin0.weight_g": lin0.weight_g.detach(),
+        "lin0.bias": lin0.bias.detach(),
+        "se3_refine": torch.zeros(5, 9),
+    }
+    ckpt = {
+        "sdf_network_fine": sdf_sd,
+        "color_network_fine": {
+            "lin0.weight": torch.randn(3, 4),
+            "lin0.bias": torch.randn(3),
+        },
+        "variance_network_fine": {"variance": torch.tensor(0.3)},
+        "iter_step": 77,
+    }
+    path = str(tmp_path / "ckpt_000077.pth")
+    torch.save(ckpt, path)
+    out = load_torch_checkpoint(path)
+    assert out["iter_step"] == 77
+    assert out["se3_refine"].shape == (5, 9)
+    x = np.random.default_rng(0).normal(size=(6, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = lin0(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        apply_linear(jax.tree.map(jnp.asarray, out["sdf"]["layers"][0]), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert float(out["variance"]["variance"]) == pytest.approx(0.3)
