@@ -199,5 +199,7 @@ class RayBatchLoader:
             "Ro": v.Ro,
             "To": v.To,
             "joints": v.joints,
+            "t_pose_21": self.scene.t_pose_21,
+            "bone_length": self.scene.bone_length,
             "index": np.asarray(idx, np.int32),
         }

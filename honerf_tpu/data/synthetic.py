@@ -200,6 +200,143 @@ def generate_object_dataset(
                 pickle.dump(param, f)
 
 
+def _segment_distances(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from points (..., 3) to segments a->b (S, 3)."""
+    ab = b - a  # (S, 3)
+    ab2 = np.sum(ab * ab, axis=-1)  # (S,)
+    ap = pts[..., None, :] - a  # (..., S, 3)
+    t = np.clip(np.sum(ap * ab, axis=-1) / np.maximum(ab2, 1e-12), 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    return np.linalg.norm(pts[..., None, :] - closest, axis=-1)  # (..., S)
+
+
+def render_capsule_hand_view(
+    R: np.ndarray,
+    T: np.ndarray,
+    focal: np.ndarray,
+    principal: np.ndarray,
+    H: int,
+    W: int,
+    joints: np.ndarray,
+    radius: float = 0.012,
+    albedo=(0.8, 0.6, 0.5),
+    n_steps: int = 48,
+):
+    """Sphere-march a capsule-skeleton 'hand' through the framework camera
+    (coarse but watertight enough for mask/color supervision)."""
+    from honerf_tpu.data.datasets import BONE_CHILDREN, BONE_FATHERS
+
+    a = joints[BONE_FATHERS]
+    b = joints[BONE_CHILDREN]
+    cols, rows = np.meshgrid(np.arange(W), np.arange(H))
+    x_ndc = -((cols - W / 2.0) / (H / 2.0))
+    y_ndc = -((rows - H / 2.0) / (H / 2.0))
+
+    def unproject(depth):
+        vx = (x_ndc - principal[0]) * depth / focal[0]
+        vy = (y_ndc - principal[1]) * depth / focal[1]
+        v = np.stack([vx, vy, np.full_like(vx, depth)], axis=-1)
+        return (v - T) @ R.T
+
+    p1 = unproject(1.0)
+    d = p1 - unproject(2.0)
+    d = -d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = p1 - d
+
+    t = np.full((H, W), 0.4, dtype=np.float64)
+    for _ in range(n_steps):
+        pts = o + t[..., None] * d
+        dist = _segment_distances(pts, a, b).min(axis=-1) - radius
+        t = np.minimum(t + np.maximum(dist, 1e-4), 1.6)
+    pts = o + t[..., None] * d
+    sdf = _segment_distances(pts, a, b).min(axis=-1) - radius
+    hit = (sdf < 2e-3) & (t < 1.55)
+    # approximate normal from nearest segment
+    dmin = _segment_distances(pts, a, b)
+    near_idx = dmin.argmin(axis=-1)
+    ab = b - a
+    ab2 = np.sum(ab * ab, axis=-1)
+    an = a[near_idx]
+    abn = ab[near_idx]
+    tt = np.clip(
+        np.sum((pts - an) * abn, axis=-1) / np.maximum(ab2[near_idx], 1e-12), 0, 1
+    )
+    normals = pts - (an + tt[..., None] * abn)
+    normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+    light = np.asarray([0.3, 0.5, -0.8])
+    light /= np.linalg.norm(light)
+    shade = np.clip(np.sum(normals * light, axis=-1), 0, 1) * 0.7 + 0.3
+    img = np.zeros((H, W, 3), dtype=np.float32)
+    img[hit] = np.asarray(albedo) * shade[hit][..., None]
+    img_u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+    img_u8[hit] = np.maximum(img_u8[hit], 1)
+    return img_u8, hit
+
+
+def generate_hand_dataset(
+    root: str,
+    n_frames: int = 1,
+    n_views: int = 8,
+    H: int = 64,
+    W: int = 72,
+    curl: float = 0.3,
+    cam_dist: float = 0.95,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic hand dataset under `root` in the reference layout
+    consumed by `load_offline_dataset(root, 'hand')`: PARAM_266 pickles,
+    mppose_3d predicted joints, t_pose_mppose.pickle canonical pose."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "PARAM_266"), exist_ok=True)
+    os.makedirs(os.path.join(root, "mppose_3d"), exist_ok=True)
+    os.makedirs(os.path.join(root, "IMG"), exist_ok=True)
+    t_pose = canonical_hand_joints(curl=0.0)
+    with open(os.path.join(root, "t_pose_mppose.pickle"), "wb") as f:
+        pickle.dump({"T_pose_21": t_pose}, f)
+    focal = np.asarray([3.0, 3.0], np.float32)
+    principal = np.asarray([0.0, 0.0], np.float32)
+    for cid in range(n_frames):
+        joints = canonical_hand_joints(curl=curl + 0.05 * cid)
+        # generic pose so the HALO canonicalization is non-degenerate
+        axis = np.asarray([0.3, 0.8, 0.52])
+        axis /= np.linalg.norm(axis)
+        th = 0.9
+        K = np.asarray(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        Rh = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        joints = (joints - joints.mean(0)) @ Rh.T
+        center = joints.mean(0)
+        with open(os.path.join(root, "mppose_3d", f"{cid}.pickle"), "wb") as f:
+            pickle.dump(joints.astype(np.float32), f)
+        for vi in range(n_views):
+            az = 2 * np.pi * vi / n_views
+            el = 0.35 + 0.1 * np.sin(1.7 * vi)
+            pos = center + cam_dist * np.asarray(
+                [np.cos(az) * np.cos(el), np.sin(el), np.sin(az) * np.cos(el)]
+            )
+            R, T = look_at_camera(pos, center)
+            img, _ = render_capsule_hand_view(R, T, focal, principal, H, W, joints)
+            param = {
+                "color_img": img,
+                "cam_R": R,
+                "cam_T": T,
+                "fx_ndc": float(focal[0]),
+                "fy_ndc": float(focal[1]),
+                "px_ndc": float(principal[0]),
+                "py_ndc": float(principal[1]),
+                "H": H,
+                "W": W,
+                "obj_R": np.eye(3, dtype=np.float32),
+                "obj_T": np.zeros(3, np.float32),
+                "joint3d_21": joints.astype(np.float32),
+            }
+            name = f"{cid}_{VIEW_NAMES[vi % len(VIEW_NAMES)]}"
+            with open(os.path.join(root, "PARAM_266", name + ".pickle"), "wb") as f:
+                pickle.dump(param, f)
+            open(os.path.join(root, "IMG", name + ".jpeg"), "wb").close()
+
+
 def canonical_hand_joints(curl: float = 0.0) -> np.ndarray:
     """A plausible right-hand 21-joint skeleton in the repo's MANO joint
     order: 0 = wrist, then contiguous 4-joint chains (MCP..tip) per finger —

@@ -84,7 +84,8 @@ _LEV = [list(range(0, 5)), list(range(5, 10)), list(range(10, 15)), list(range(1
 
 
 def _norm_clip(v: jnp.ndarray, eps: float = _EPS_MAT) -> jnp.ndarray:
-    return jnp.maximum(jnp.linalg.norm(v, axis=-1), eps)
+    # sqrt(sum + tiny): finite gradient at exact zeros (see utils.transforms)
+    return jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24), eps)
 
 
 def _normalize(v: jnp.ndarray, eps: float = _EPS_MAT) -> jnp.ndarray:
@@ -158,7 +159,7 @@ def kp3d_to_bones(kp3d: jnp.ndarray):
     B = kp3d.shape[0]
     bones = kp3d[:, _IDX_CHILD] - kp3d[:, _IDX_PARENT]
     lengths = jnp.maximum(
-        jnp.linalg.norm(bones, axis=2, keepdims=True), _EPS_MAT
+        jnp.sqrt(jnp.sum(bones * bones, axis=2, keepdims=True) + 1e-24), _EPS_MAT
     )
     bones = bones / lengths
     translate = jnp.tile(jnp.eye(4)[None, None], (B, 20, 1, 1))

@@ -62,7 +62,8 @@ def anerf_bone_embedding(
     trans = bt_inv[:, :3, 3]  # (21, 3)
     # q[..., j, :] = rot[j] @ pts + trans[j] - t_pose[j]
     q = jnp.einsum("jab,...b->...ja", rot, pts) + trans - t_pose_21
-    v = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # safe length: finite gradient for a query exactly at a joint
+    v = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     r = q / v
     h = 1.0 - sigmoid(CUTOFF_TAU * (v - BONE_CUTOFFS[:, None]))
     return v, r, h

@@ -134,6 +134,15 @@ def coarse_z_vals(
     return z
 
 
+def safe_norm(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt(sum(v^2) + eps): finite gradient at v == 0.  The hand SDF's
+    cutoff gate saturates to exactly 0 far from every bone, making the
+    spatial gradient exactly 0 there; jnp.linalg.norm would backprop NaN
+    (torch defines the subgradient at 0 as 0, which is how the reference
+    silently survives the same configuration)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis) + eps)
+
+
 def sdf_to_alpha(
     sdf: jnp.ndarray,
     grad: jnp.ndarray,
@@ -222,7 +231,7 @@ def render_single(
     color_fine = jnp.sum(color * weights[..., None], axis=1)
 
     grad = grad.reshape(n_rays, n_samples, 3)
-    gradient_error = jnp.mean((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2)
+    gradient_error = jnp.mean((safe_norm(grad) - 1.0) ** 2)
 
     return {
         "color_fine": color_fine,

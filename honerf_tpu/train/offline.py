@@ -179,6 +179,88 @@ def make_obj_train_step(
     return step_fn
 
 
+def refined_hand_pose(params: Params, tcfg: TrainHyper, batch):
+    """Per-view learnable hand pose refinement (exp_runner.py:163-189):
+    se3_refine row -> palm rot6d / 0.1-scaled translation / 20 joint angles
+    / 0.1-scaled 7 palm angles, pushed through the inverse HALO path."""
+    from honerf_tpu.hand import bone_transforms_from_mano_joints, refined_hand_joints
+
+    joints = batch["joints"][None]  # (1, 21, 3)
+    if tcfg.refine_pose:
+        ref = params["se3_refine"][batch["index"]][None]  # (1, 36)
+        joints = refined_hand_joints(
+            joints,
+            batch["bone_length"][None],
+            joint_refine_angle=ref[:, 9:29],
+            palm_refine_angle=ref[:, 29:36] * 0.1,
+            palm_rot6d=ref[:, :6],
+            palm_trans=ref[:, 6:9] * 0.1,
+        )
+    bt_inv = bone_transforms_from_mano_joints(joints)[0]
+    return bt_inv
+
+
+def hand_render_from_batch(
+    params: Params,
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    batch: Dict[str, jnp.ndarray],
+    key,
+) -> Dict[str, jnp.ndarray]:
+    """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph."""
+    cam = Camera(
+        R=batch["cam_R"], T=batch["cam_T"],
+        focal=batch["focal"], principal=batch["principal"],
+    )
+    rb = xy_to_ray_bundle(cam, batch["rays_xy"])
+    bt_inv = refined_hand_pose(params, tcfg, batch)
+    field = make_hand_field(
+        params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"]
+    )
+    return render_single(
+        field, rcfg, key, rb.origins, rb.directions, tcfg.near, tcfg.far,
+        cumprod_seed="prev_cdf",
+    )
+
+
+def make_hand_train_step(
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    vgg_loss_fn: Optional[Callable] = None,
+):
+    """Jittable hand-model train step: the HALO kinematic chain runs inside
+    the compiled program and se3_refine gradients flow through it."""
+    opt = make_optimizer(tcfg)
+
+    def loss_fn(params, batch, key):
+        out = hand_render_from_batch(params, sdf_cfg, color_cfg, rcfg, tcfg, batch, key)
+        loss, metrics = offline_losses(out, batch, tcfg)
+        if vgg_loss_fn is not None and tcfg.vgg_weight > 0:
+            side = int(round(float(tcfg.batch_size) ** 0.5))
+            pred = out["color_fine"].reshape(side, side, 3)
+            gt = batch["true_rgb"].reshape(side, side, 3)
+            vgg = vgg_loss_fn(pred, gt)
+            loss = loss + batch["vgg_ramp"] * tcfg.vgg_weight * vgg
+            metrics = dict(metrics, vgg_loss=vgg, loss=loss)
+        return loss, metrics
+
+    def step_fn(state, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state["params"], batch, key)
+        updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            metrics,
+        )
+
+    return step_fn
+
+
 def make_obj_eval_render(
     sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
 ):
@@ -188,6 +270,24 @@ def make_obj_eval_render(
     def render_chunk(params, batch, key):
         out = obj_render_from_batch(
             params, sdf_cfg, color_cfg, rcfg_eval, tcfg, batch, key
+        )
+        return out["color_fine"], out["weight_sum"]
+
+    return render_chunk
+
+
+def make_hand_eval_render(
+    sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
+):
+    """Jittable chunked eval render for the hand model (pose from batch
+    joints, no refinement — matches validate/test recomputing bt_inv,
+    exp_runner.py:318-331)."""
+    rcfg_eval = rcfg._replace(perturb=0.0)
+    tcfg_eval = tcfg._replace(refine_pose=False)
+
+    def render_chunk(params, batch, key):
+        out = hand_render_from_batch(
+            params, sdf_cfg, color_cfg, rcfg_eval, tcfg_eval, batch, key
         )
         return out["color_fine"], out["weight_sum"]
 

@@ -10,10 +10,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_len(v: jnp.ndarray, axis: int = -1, keepdims: bool = False) -> jnp.ndarray:
+    """Euclidean length with a finite gradient at v == 0 (jnp.linalg.norm
+    backprops NaN there; torch's subgradient convention returns 0, which is
+    what the reference silently relies on in its degenerate configs)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + 1e-24)
+
+
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """Unit-normalize along `axis` (torch.nn.functional.normalize semantics:
     divides by max(norm, eps))."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    n = _safe_len(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, eps)
 
 
@@ -104,11 +111,9 @@ def rotate_axis_angle(v: jnp.ndarray, k: jnp.ndarray, theta: jnp.ndarray) -> jnp
 def angle_between(v1: jnp.ndarray, v2: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     """Numerically stable unsigned angle between vectors
     (reference `angle2`, halo_util/converter_fit_batch.py:62-74)."""
-    n1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), eps)
-    n2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), eps)
-    return 2.0 * jnp.arctan2(
-        jnp.linalg.norm(n1 - n2, axis=-1), jnp.linalg.norm(n1 + n2, axis=-1)
-    )
+    n1 = v1 / jnp.maximum(_safe_len(v1, keepdims=True), eps)
+    n2 = v2 / jnp.maximum(_safe_len(v2, keepdims=True), eps)
+    return 2.0 * jnp.arctan2(_safe_len(n1 - n2), _safe_len(n1 + n2))
 
 
 def signed_angle(v1: jnp.ndarray, v2: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
