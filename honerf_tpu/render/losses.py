@@ -43,8 +43,11 @@ def masked_psnr(
 
 def pose_l2(target: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     """Mean per-point L2 norm (reference `pose_loss`,
-    fitting_single.py:119-122)."""
-    return jnp.mean(jnp.linalg.norm(target - pred, axis=-1))
+    fitting_single.py:119-122).  Safe sqrt: at iteration 0 the prediction
+    can equal the target exactly (identity refinements) and the norm
+    gradient at 0 must be 0, not NaN (torch's subgradient convention)."""
+    d = target - pred
+    return jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-24))
 
 
 def contact_loss(sdf_hand: jnp.ndarray, sdf_obj: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,195 @@
+"""Online pose-fitting tests: dual render + interaction losses + pose
+optimization for single-frame ('1'/'12') and video ('123'/'1234') fitters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from honerf_tpu.data.synthetic import canonical_hand_joints
+from honerf_tpu.fit import (
+    FitHyper,
+    init_pose_params,
+    init_video_tables,
+    make_single_fit_step,
+    make_video_fit_step,
+)
+from honerf_tpu.models import (
+    ColorConfig,
+    SDFConfig,
+    init_color_params,
+    init_sdf_params,
+    init_variance_params,
+)
+from honerf_tpu.render import RenderConfig
+from honerf_tpu.render.losses import contact_loss, penetration_loss, stable_loss_cross
+
+
+def tiny_nets():
+    hand_sdf = SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                         skip_in=(2,), v_multires=3, r_multires=2)
+    hand_col = ColorConfig(kind="hand", d_feature=64, n_layers=2, d_hidden=64,
+                           v_multires=3, r_multires=2)
+    obj_sdf = SDFConfig(kind="obj", n_layers=3, d_hidden=64, d_out=65, skip_in=(2,))
+    obj_col = ColorConfig(kind="obj", d_feature=64, n_layers=2, d_hidden=64)
+    params = {
+        "hand": {
+            "sdf": init_sdf_params(jax.random.PRNGKey(0), hand_sdf),
+            "color": init_color_params(jax.random.PRNGKey(1), hand_col),
+            "variance": init_variance_params(0.3),
+        },
+        "obj": {
+            "sdf": init_sdf_params(jax.random.PRNGKey(2), obj_sdf),
+            "color": init_color_params(jax.random.PRNGKey(3), obj_col),
+            "variance": init_variance_params(0.3),
+        },
+    }
+    return params, hand_sdf, hand_col, obj_sdf, obj_col
+
+
+def posed_hand():
+    j = canonical_hand_joints(curl=0.35).astype(np.float32)
+    axis = np.asarray([0.3, 0.8, 0.52]); axis /= np.linalg.norm(axis)
+    K = np.asarray([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                    [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(0.9) * K + (1 - np.cos(0.9)) * (K @ K)
+    return (j @ R.T).astype(np.float32)
+
+
+def make_frame(n_rays=32, seed=0):
+    from honerf_tpu.data.datasets import get_bone_length
+    from honerf_tpu.data.synthetic import look_at_camera
+
+    rng = np.random.default_rng(seed)
+    joints = posed_hand()
+    R, T = look_at_camera(np.asarray([0.0, 0.2, -0.9]), joints.mean(0))
+    return {
+        "joints_pred": jnp.asarray(joints),
+        "bone_length": jnp.asarray(get_bone_length(canonical_hand_joints(0.0))),
+        "t_pose_21": jnp.asarray(canonical_hand_joints(0.0)),
+        "Ro_pred": jnp.eye(3),
+        "To_pred": jnp.asarray(joints.mean(0) + np.asarray([0.0, 0.0, 0.05])),
+        "obj_verts": jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32) * 0.05),
+        "cam_R": jnp.asarray(R),
+        "cam_T": jnp.asarray(T),
+        "focal": jnp.asarray([3.0, 3.0]),
+        "principal": jnp.zeros(2),
+        "rays_xy": jnp.asarray(rng.uniform(-0.4, 0.4, (n_rays, 2)).astype(np.float32)),
+        "true_rgb": jnp.asarray(rng.uniform(0, 1, (n_rays, 3)).astype(np.float32)),
+        "true_mask": jnp.ones((n_rays, 1)),
+    }
+
+
+@pytest.mark.parametrize("fit_type", ["1", "12"])
+def test_single_fit_step_updates_all_pose_tensors(fit_type):
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2, perturb=0.0)
+    fcfg = FitHyper(batch_size=32, fit_type=fit_type)
+    step, opt = make_single_fit_step(params, hs, hc, os_, oc, rcfg, fcfg)
+    step = jax.jit(step)
+    pose = init_pose_params()
+    state = (pose, opt.init(pose))
+    batch = make_frame()
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["loss"])), (fit_type, i)
+    new_pose = state[0]
+    for k in pose:
+        delta = np.abs(np.asarray(new_pose[k]) - np.asarray(pose[k])).max()
+        assert delta > 0, f"{k} did not update"
+    if fit_type == "12":
+        assert "contact_loss" in metrics and "penet_loss" in metrics
+
+
+def test_pose_regularizer_pulls_back_perturbation():
+    """With fit '1' and heavy pose weights, a perturbed palm translation
+    should move back toward the initial estimate."""
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=8, n_importance=0, up_sample_steps=1, perturb=0.0)
+    fcfg = FitHyper(batch_size=16, fit_type="1")
+    step, opt = make_single_fit_step(
+        params, hs, hc, os_, oc, rcfg, fcfg,
+        lrs={k: 2e-3 for k in init_pose_params()},
+    )
+    step = jax.jit(step)
+    pose = init_pose_params()
+    pose["palm_trans"] = jnp.asarray([[0.03, -0.02, 0.01]])
+    state = (pose, opt.init(pose))
+    batch = make_frame(n_rays=16)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        if first is None:
+            first = float(metrics["joint_loss"])
+    assert float(metrics["joint_loss"]) < first
+
+
+@pytest.mark.parametrize("fit_type", ["123", "1234"])
+def test_video_fit_step(fit_type):
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2, perturb=0.0)
+    fcfg = FitHyper(batch_size=16, fit_type=fit_type)
+    n_frames = 6
+    step, opt = make_video_fit_step(
+        params, hs, hc, os_, oc, rcfg, fcfg, n_frames
+    )
+    step = jax.jit(step)
+    tables = init_video_tables(n_frames)
+    state = (tables, opt.init(tables))
+    F, R = 4, 16
+    single = make_frame(n_rays=R)
+    batch = {
+        "index": jnp.asarray([0, 1, 2, 3]),
+        "joints_pred": jnp.tile(single["joints_pred"][None], (F, 1, 1)),
+        "bone_length": jnp.tile(single["bone_length"][None], (F, 1)),
+        "t_pose_21": jnp.tile(single["t_pose_21"][None], (F, 1, 1)),
+        "Ro_pred": jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
+        "To_pred": jnp.tile(single["To_pred"][None], (F, 1)),
+        "obj_verts": single["obj_verts"],
+        "cam_R": single["cam_R"],
+        "cam_T": single["cam_T"],
+        "focal": single["focal"],
+        "principal": single["principal"],
+        "rays_xy": jnp.tile(single["rays_xy"][None], (F, 1, 1)),
+        "true_rgb": jnp.tile(single["true_rgb"][None], (F, 1, 1)),
+        "true_mask": jnp.ones((F, R, 1)),
+    }
+    key = jax.random.PRNGKey(0)
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["loss"]))
+    assert "smooth_loss" in metrics
+    if fit_type == "1234":
+        assert "stable_loss" in metrics
+    # only the window rows 0-3 of the tables changed
+    new_tables = state[0]
+    d = np.abs(np.asarray(new_tables["joint_angle"]) - np.asarray(tables["joint_angle"]))
+    assert d[:4].max() > 0
+    np.testing.assert_allclose(d[4:], 0.0)
+
+
+def test_interaction_losses_masked_semantics():
+    # contact: only |h|+|o| < 1e-2 samples contribute
+    sdf_h = jnp.asarray([0.004, 0.5, -0.003, 0.2])
+    sdf_o = jnp.asarray([0.004, 0.5, -0.004, -0.1])
+    c = float(contact_loss(sdf_h, sdf_o))
+    np.testing.assert_allclose(c, (0.008 + 0.007) / 2, rtol=1e-5)
+    # penetration: both negative
+    p = float(penetration_loss(sdf_h, sdf_o))
+    np.testing.assert_allclose(p, 0.007, rtol=1e-5)
+    # empty masks give 0 (denominator guard)
+    assert float(penetration_loss(jnp.ones(4), jnp.ones(4))) == 0.0
+
+
+def test_stable_loss_zero_when_single_frame_in_contact():
+    verts = jnp.asarray(np.random.default_rng(0).normal(size=(30, 3)) * 0.05)
+    sdf = jnp.ones((4, 30)) * 0.1
+    sdf = sdf.at[1, :5].set(-0.01)  # only one frame penetrates
+    assert float(stable_loss_cross(sdf, verts)) == 0.0
+    sdf = sdf.at[2, 3:8].set(-0.02)  # two frames penetrate -> non-zero
+    assert float(stable_loss_cross(sdf, verts)) > 0.0
