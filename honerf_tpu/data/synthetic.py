@@ -337,6 +337,115 @@ def generate_hand_dataset(
             open(os.path.join(root, "IMG", name + ".jpeg"), "wb").close()
 
 
+def generate_catch_sequence(
+    data_root: str,
+    obj_name: str = "person1_bean",
+    frame_name: str = "seq0",
+    n_frames: int = 2,
+    n_views: int = 8,
+    H: int = 48,
+    W: int = 56,
+    sphere_radius: float = 0.1,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic fitting sequence in the catch-sequence layout
+    consumed by `load_fit_sequence` (utils/dataset.py:409-760): per-view
+    MASK jpegs + PARAM_266 pickles, t-pose pickle, object PLY, predicted
+    joints/pose initializations."""
+    rng = np.random.default_rng(seed)
+    per, obj = obj_name.split("_")
+    frame_path = os.path.join(data_root, obj_name, frame_name)
+    os.makedirs(os.path.join(frame_path, "MASK"), exist_ok=True)
+    os.makedirs(os.path.join(frame_path, "PARAM_266"), exist_ok=True)
+    os.makedirs(os.path.join(frame_path, f"pred_joint3d_{n_views}view"), exist_ok=True)
+    os.makedirs(os.path.join(frame_path, f"pred_objpose_{n_views}view"), exist_ok=True)
+    t_pose = canonical_hand_joints(curl=0.0)
+    with open(os.path.join(frame_path, per + "_tmppose.pickle"), "wb") as f:
+        pickle.dump({"T_pose_21": t_pose}, f)
+    verts, faces = icosphere(sphere_radius)
+    save_ply(os.path.join(frame_path, obj + "_ours.ply"), verts * 1000.0, faces)
+    focal = np.asarray([3.0, 3.0], np.float32)
+    principal = np.asarray([0.0, 0.0], np.float32)
+
+    def _save_jpeg(path, img_u8):
+        try:
+            import cv2
+
+            cv2.imwrite(path, img_u8[..., ::-1])
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(img_u8).save(path, quality=95)
+
+    from honerf_tpu.data.fit_datasets import VIEW_LISTS
+
+    view_names = VIEW_LISTS[str(n_views)] if str(n_views) in VIEW_LISTS else VIEW_NAMES
+
+    for fid in range(n_frames):
+        joints = canonical_hand_joints(curl=0.3 + 0.05 * fid)
+        axis = np.asarray([0.3, 0.8, 0.52])
+        axis /= np.linalg.norm(axis)
+        th = 0.9
+        K = np.asarray(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        Rh = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        joints = ((joints - joints.mean(0)) @ Rh.T).astype(np.float32)
+        center = joints.mean(0)
+        obj_center = center + np.asarray([0.0, -0.02, 0.06], np.float32)
+        Ro_gt = np.eye(3, dtype=np.float32)
+        To_gt = obj_center
+        # noisy initial predictions
+        joints_pred = joints + rng.normal(0, 0.003, joints.shape).astype(np.float32)
+        pose_pred = np.eye(4, dtype=np.float32)
+        pose_pred[:3, 3] = To_gt + rng.normal(0, 0.004, 3).astype(np.float32)
+        with open(
+            os.path.join(frame_path, f"pred_joint3d_{n_views}view", f"{fid}.pickle"),
+            "wb",
+        ) as f:
+            pickle.dump({"pred_joint_3d": joints_pred}, f)
+        np.savetxt(
+            os.path.join(frame_path, f"pred_objpose_{n_views}view", f"{fid}.txt"),
+            pose_pred,
+        )
+        for vi, view_name in enumerate(view_names[:n_views]):
+            az = 2 * np.pi * vi / n_views
+            el = 0.35 + 0.1 * np.sin(1.7 * vi)
+            pos = center + 0.95 * np.asarray(
+                [np.cos(az) * np.cos(el), np.sin(el), np.sin(az) * np.cos(el)]
+            )
+            R, T = look_at_camera(pos, center)
+            hand_img, hand_hit = render_capsule_hand_view(
+                R, T, focal, principal, H, W, joints
+            )
+            obj_img, obj_hit = render_sphere_view(
+                R, T, focal, principal, H, W, obj_center, sphere_radius,
+                albedo=(0.4, 0.6, 0.9),
+            )
+            img = np.where(hand_hit[..., None], hand_img, obj_img)
+            _save_jpeg(
+                os.path.join(frame_path, "MASK", f"{fid}_{view_name}.jpeg"), img
+            )
+            param = {
+                "cam_R": R,
+                "cam_T": T,
+                "fx_ndc": float(focal[0]),
+                "fy_ndc": float(focal[1]),
+                "px_ndc": float(principal[0]),
+                "py_ndc": float(principal[1]),
+                "H": H,
+                "W": W,
+                "obj_R": Ro_gt,
+                "obj_T": To_gt,
+                "joint3d_21": joints,
+            }
+            with open(
+                os.path.join(frame_path, "PARAM_266", f"{fid}_{view_name}.pickle"),
+                "wb",
+            ) as f:
+                pickle.dump(param, f)
+
+
 def canonical_hand_joints(curl: float = 0.0) -> np.ndarray:
     """A plausible right-hand 21-joint skeleton in the repo's MANO joint
     order: 0 = wrist, then contiguous 4-joint chains (MCP..tip) per finger —
