@@ -90,13 +90,16 @@ def main() -> None:
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    # force a VALUE fetch: on the tunneled TPU backend block_until_ready
+    # returns before the device finishes; only materializing the scalar
+    # guarantees completion (and triggers the lazy remote compile)
+    assert np.isfinite(float(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = BATCH * ITERS / dt
