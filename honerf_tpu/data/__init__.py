@@ -1,4 +1,5 @@
 from honerf_tpu.data.datasets import (
+    FrameWindowSampler,
     RayBatchLoader,
     SceneData,
     ViewRecord,
@@ -8,6 +9,7 @@ from honerf_tpu.data.datasets import (
 from honerf_tpu.data.pixels import sample_patch, sample_rays
 
 __all__ = [
+    "FrameWindowSampler",
     "RayBatchLoader",
     "SceneData",
     "ViewRecord",

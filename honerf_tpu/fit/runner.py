@@ -262,9 +262,11 @@ class VideoFitRunner(_FitBase):
         sub_iters = self.conf.get_int("train.sub_iters", 4)
         window = 4
         rays_per_frame = self.conf.get_int("train.rays_per_frame", 40)
+        from honerf_tpu.data import FrameWindowSampler
+
+        sampler = FrameWindowSampler(n_frames, window)
         for epoch in range(n_epochs):
-            for start in range(max(n_frames - window + 1, 1)):
-                idx = list(range(start, min(start + window, n_frames)))
+            for idx in sampler:
                 frames = [seq.frames[i] for i in idx]
                 consts = self._window_consts(seq, frames, idx)
                 for _sub in range(sub_iters):

@@ -14,9 +14,17 @@ host-side jit work), transposed to (in, out), zero-padded so every
 contraction is 128-lane aligned, and cast to bf16 for the MXU with f32
 accumulation (`preferred_element_type`).
 
-Inference-only: used in the no-grad up-sampling phase and eval paths; the
-differentiable fine pass stays in XLA so higher-order autodiff (eikonal)
-remains exact.
+Inference-only; the differentiable fine pass stays in XLA so higher-order
+autodiff (eikonal) remains exact.
+
+STATUS (measured on TPU v5e, 56k points, full-size obj net): numerically
+correct vs the XLA path (max err ~1e-3 from bf16 weights) but currently
+0.45x XLA's speed (4.0 ms vs 1.8 ms) — XLA's own fusion of this MLP already
+reaches ~31 M pts/s and Mosaic's pipeliner needs per-layer buffer reuse
+(fori_loop over layers + explicit scratch) to beat it; larger point blocks
+OOM the 16MB scoped VMEM because of PE/concat liveness.  Kept as an
+experimental op (off by default) and a baseline for the next kernel
+iteration.
 """
 
 from __future__ import annotations
@@ -33,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from honerf_tpu.models.fields import SDFConfig
 from honerf_tpu.models.mlp import linear_weight
 
-BLOCK = 512
+BLOCK = 512  # VMEM cap: 2048-pt blocks exceed the 16MB scoped limit
 _LANE = 128
 
 
@@ -83,11 +91,14 @@ def _pe_block(pts: jnp.ndarray, n_freqs: int, width_pad: int) -> jnp.ndarray:
     """(B, 3) -> (B, width_pad) embedding [x,y,z, per-channel sinL..cosL],
     zero-padded — matches models.embedding.positional_encoding layout."""
     cols = [pts]
-    freqs = 2.0 ** jnp.arange(n_freqs, dtype=pts.dtype)
+    # unrolled per-frequency scalar multiplies: Mosaic rejects float iota
+    # and Pallas kernels cannot capture constant arrays
     for c in range(3):
-        spectrum = pts[:, c:c + 1] * freqs
-        cols.append(jnp.sin(spectrum))
-        cols.append(jnp.cos(spectrum))
+        x = pts[:, c:c + 1]
+        sins = [jnp.sin(x * float(2.0**k)) for k in range(n_freqs)]
+        coss = [jnp.cos(x * float(2.0**k)) for k in range(n_freqs)]
+        cols.append(jnp.concatenate(sins, axis=-1))
+        cols.append(jnp.concatenate(coss, axis=-1))
     emb = jnp.concatenate(cols, axis=-1)
     return jnp.pad(emb, ((0, 0), (0, width_pad - emb.shape[-1])))
 
