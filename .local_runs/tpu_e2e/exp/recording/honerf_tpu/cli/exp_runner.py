@@ -29,6 +29,13 @@ def main() -> None:
     parser.add_argument("--case", type=str, default="")
     args = parser.parse_args()
 
+    if args.mode not in ("train", "test", "mesh"):
+        raise SystemExit(f"unknown mode {args.mode!r} (train|test|mesh)")
+    import os
+
+    if not os.path.exists(args.conf):
+        raise SystemExit(f"config file not found: {args.conf}")
+
     from honerf_tpu.train.runner import OfflineRunner
 
     runner = OfflineRunner(args.conf, args.mode, args.case, args.is_continue)

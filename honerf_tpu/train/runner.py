@@ -220,7 +220,10 @@ class OfflineRunner:
         scene = scene or self.test_scene
         v = scene.views[view_idx]
         grid = np.asarray(full_image_ndc_grid(self.H, self.W))
-        chunk = self.tcfg.batch_size
+        # full-image renders are inference-only: larger chunks amortize
+        # dispatch overhead (the reference chunks at batch_size,
+        # exp_runner.py:356; `train.eval_chunk` overrides)
+        chunk = self.conf.get_int("train.eval_chunk", self.tcfg.batch_size)
         n = grid.shape[0]
         out = np.zeros((n, 3), np.float32)
         base = {
