@@ -9,8 +9,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 from honerf_tpu.eval.temporal import penetration_iou
 
 

@@ -15,7 +15,7 @@ includes are not.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 
 class ConfigTree(dict):

@@ -9,12 +9,10 @@ sweep), then the grid is handed to the C++ marching-cubes host extension.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from honerf_tpu.extract.marching_cubes import marching_cubes

@@ -34,7 +34,6 @@ from honerf_tpu.data.pixels import sample_rays
 from honerf_tpu.extract import bounds_from_points, extract_geometry, inner_point_ids
 from honerf_tpu.fit.single import (
     FitHyper,
-    current_pose,
     final_pose_numpy,
     init_pose_params,
     make_single_fit_step,

@@ -10,7 +10,7 @@ parameters (pose fitting backprops through this entire chain).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ thumb..pinky; joints (biomech): 0 root, 1-5 level-1 MCPs, 6-10, 11-15,
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # VGG19 conv plan: channels per conv layer, 'M' = 2x2 max pool.
 VGG19_PLAN = [

@@ -12,10 +12,9 @@ bit-for-bit, so published .pth models load at output parity.
 
 from __future__ import annotations
 
-import io
 import os
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -261,6 +261,33 @@ def make_hand_train_step(
     return step_fn
 
 
+def make_multi_step(step_fn):
+    """Wrap a (state, batch, key) -> (state, metrics) step into a
+    K-steps-per-dispatch version via lax.scan.
+
+    The tunneled TPU costs ~3.5 ms per dispatch plus one host->device
+    transfer per batch array; uploading K stacked batches and scanning K
+    optimizer steps inside one XLA program amortizes both (the end-to-end
+    training loop went from 3.8 to near-step-rate throughput).
+
+    Args:
+        step_fn: the single-step function (obj or hand).
+    Returns:
+        multi(state, batches, keys) -> (state, metrics stacked over K).
+        `batches` is the batch dict with a leading K axis on every leaf;
+        `keys` is (K, 2) PRNG keys.
+    """
+
+    def multi(state, batches, keys):
+        def body(s, xs):
+            batch, key = xs
+            return step_fn(s, batch, key)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return multi
+
+
 def make_obj_eval_render(
     sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
 ):

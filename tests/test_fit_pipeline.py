@@ -218,3 +218,49 @@ def test_fit_pipeline_end_to_end(pipeline_ws):
     with open(os.path.join(analys, "inner_12", "0.pickle"), "rb") as f:
         ids = pickle.load(f)["inner_point_id"]
     assert ids.ndim == 1
+
+
+def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
+    """Drive the analys_* CLI mains over the artifacts the pipeline test
+    produced (the reference acceptance-suite workflow, SURVEY.md §4)."""
+    import shutil
+    import sys
+
+    ws = pipeline_ws
+    # model zoo layout the pose CLI expects: <base>/<obj>_cppose/<obj>_ours.ply
+    model_base = os.path.join(ws, "offline_stage_data")
+    os.makedirs(os.path.join(model_base, "bean_cppose"), exist_ok=True)
+    shutil.copy(
+        os.path.join(ws, "data", "catch_sequence", "test", "person1_bean",
+                     "seq0", "bean_ours.ply"),
+        os.path.join(model_base, "bean_cppose", "bean_ours.ply"),
+    )
+
+    from honerf_tpu.cli import analys_hand_obj_pose, analys_pci
+
+    sys.argv = [
+        "analys_hand_obj_pose",
+        "--base_path", os.path.join(ws, "fit_res"),
+        "--fit_type", "12", "--view_num", "4",
+        "--model_base_path", model_base,
+        "--init_path", os.path.join(ws, "data", "catch_sequence", "test"),
+        "--objects", "bean",
+    ]
+    analys_hand_obj_pose.main()
+    out = capsys.readouterr().out
+    assert "object bean: 2 frames" in out
+    assert "ours joint:" in out and "ADD:" in out
+    # fitted joints started 3mm from GT; errors must be in a sane range
+    import re
+
+    m = re.search(r"ours joint: ([\d.]+)mm", out)
+    assert m and float(m.group(1)) < 50.0
+
+    sys.argv = [
+        "analys_pci",
+        "--base_path", os.path.join(ws, "fit_res", "analys_res", "view_4"),
+        "--stages", "12",
+    ]
+    analys_pci.main()
+    out = capsys.readouterr().out
+    assert "inner_12 pci:" in out
