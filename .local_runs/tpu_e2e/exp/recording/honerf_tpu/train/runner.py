@@ -70,15 +70,31 @@ class MetricsLogger:
         self._flush_every = flush_every
 
     def log(self, step: int, scalars: Dict[str, Any]) -> None:
-        self._buf.append((step, time.time(), dict(scalars)))
-        if len(self._buf) >= self._flush_every:
+        self._buf.append((step, 1, time.time(), dict(scalars)))
+        if sum(b[1] for b in self._buf) >= self._flush_every:
+            self.flush()
+
+    def log_chunk(self, first_step: int, k: int, stacked: Dict[str, Any]) -> None:
+        """Buffer a K-step metrics chunk (leading K axis on every value)
+        WITHOUT touching the device arrays — even slicing `arr[i]` at log
+        time dispatches a device op through the tunnel; materialization
+        happens wholesale at flush."""
+        self._buf.append((first_step, k, time.time(), dict(stacked)))
+        if sum(b[1] for b in self._buf) >= self._flush_every:
             self.flush()
 
     def flush(self) -> None:
-        for step, t, scalars in self._buf:
-            rec = {"step": step, "time": t}
-            rec.update({k: float(v) for k, v in scalars.items()})
-            self._f.write(json.dumps(rec) + "\n")
+        for step, k, t, scalars in self._buf:
+            host = {name: np.asarray(v) for name, v in scalars.items()}
+            for i in range(k):
+                rec = {"step": step + i, "time": t}
+                rec.update(
+                    {
+                        name: float(v[i] if v.ndim else v)
+                        for name, v in host.items()
+                    }
+                )
+                self._f.write(json.dumps(rec) + "\n")
         self._buf.clear()
         self._f.flush()
 
@@ -224,11 +240,8 @@ class OfflineRunner:
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, k)
             self.state, ms = multi_step(self.state, stacked, keys)
-            for i in range(k):
-                self.iter_step += 1
-                self.metrics.log(
-                    self.iter_step, {name: ms[name][i] for name in ms}
-                )
+            self.metrics.log_chunk(self.iter_step + 1, k, ms)
+            self.iter_step += k
             if self.iter_step % report_freq < k:
                 logger.info(
                     "iter %d loss=%.4f color=%.4f mask=%.4f eik=%.4f psnr=%.2f",
