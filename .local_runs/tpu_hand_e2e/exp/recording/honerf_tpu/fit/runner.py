@@ -1,0 +1,484 @@
+"""Fitting-stage runners: single-frame, video, and result extraction.
+
+Driver parity (fitting_single.py:21-315, fitting_video.py:23-474,
+get_res.py:24-302): config-driven workflows that load the frozen offline
+checkpoints, optimize pose parameters per frame / per sequence, and persist
+pose pickles, meshes, penetration ids and renders under ./fit_res with the
+reference's directory scheme — fitting resumes by skipping frames whose
+output pickle exists.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import shutil
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from honerf_tpu.camera import full_image_ndc_grid
+from honerf_tpu.config import load_config
+from honerf_tpu.data.fit_datasets import (
+    FitFrame,
+    FitSequence,
+    VIEW_LISTS,
+    list_fit_sequences,
+    load_fit_sequence,
+)
+from honerf_tpu.data.pixels import sample_rays
+from honerf_tpu.extract import bounds_from_points, extract_geometry, inner_point_ids
+from honerf_tpu.fit.single import (
+    FitHyper,
+    final_pose_numpy,
+    init_pose_params,
+    make_single_fit_step,
+)
+from honerf_tpu.fit.video import init_video_tables, make_video_fit_step, window_pose
+from honerf_tpu.hand import bone_transforms_from_mano_joints
+from honerf_tpu.models import (
+    color_config_from_conf,
+    sdf_config_from_conf,
+    sdf_hand_apply,
+    sdf_obj_apply,
+)
+from honerf_tpu.render import RenderConfig
+from honerf_tpu.render.dual import render_dual
+from honerf_tpu.render.neus import (
+    make_hand_field,
+    make_obj_field,
+    rays_to_object_frame,
+)
+from honerf_tpu.camera import Camera, xy_to_ray_bundle
+from honerf_tpu.train.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_torch_checkpoint,
+)
+from honerf_tpu.utils.ply import save_ply
+
+logger = logging.getLogger(__name__)
+
+
+def load_model_params(model_dir: str) -> Dict[str, Any]:
+    """Load the latest offline checkpoint under <model_dir>/checkpoints —
+    ours (.npz) or a reference .pth (converted on the fly)."""
+    ckpt_dir = os.path.join(model_dir, "checkpoints")
+    path = latest_checkpoint(ckpt_dir)
+    if path is not None:
+        tree = load_checkpoint(path)
+        params = tree["params"] if "params" in tree else tree
+        return jax.tree.map(jnp.asarray, {
+            "sdf": params["sdf"],
+            "color": params["color"],
+            "variance": params["variance"],
+        })
+    pths = sorted(
+        n for n in os.listdir(ckpt_dir) if n.endswith(".pth")
+    ) if os.path.isdir(ckpt_dir) else []
+    if pths:
+        conv = load_torch_checkpoint(os.path.join(ckpt_dir, pths[-1]))
+        return jax.tree.map(jnp.asarray, {
+            "sdf": conv["sdf"], "color": conv["color"], "variance": conv["variance"],
+        })
+    raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+
+
+class _FitBase:
+    def __init__(self, conf_path: str, case: str = ""):
+        self.conf_path = conf_path
+        self.conf = load_config(conf_path, case)
+        self.save_dir = self.conf["general.save_dir"]
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.fit_type = self.conf.get_string("general.fit_type")
+        self.view_num = str(self.conf["dataset.view_num"])
+        self.data_root = self.conf.get_string("dataset.fitdata_dir")
+        self.H, self.W = self.conf.get_list("dataset.image_size")
+        self.fcfg = FitHyper.from_conf(self.conf)
+        self.rcfg = RenderConfig.from_conf(self.conf["model.neus_renderer"])
+        self.hand_sdf_cfg = sdf_config_from_conf(
+            "hand", self.conf["model.sdf_hand_network"]
+        )
+        self.hand_color_cfg = color_config_from_conf(
+            "hand", self.conf["model.rendering_hand_network"]
+        )
+        self.obj_sdf_cfg = sdf_config_from_conf(
+            "obj", self.conf["model.sdf_obj_network"]
+        )
+        self.obj_color_cfg = color_config_from_conf(
+            "obj", self.conf["model.rendering_obj_network"]
+        )
+        self.fit_res_root = self.conf.get_string("general.fit_res_root", "./fit_res")
+        self.exp_root = self.conf.get_string("general.exp_root", "./exp")
+        self._net_params: Optional[Dict[str, Any]] = None
+        self._net_key: Optional[str] = None
+        self.rng = np.random.default_rng(0)
+
+    def nets_for(self, seq: FitSequence) -> Dict[str, Any]:
+        key = seq.hand_model_path + "|" + seq.obj_model_path
+        if self._net_key != key:
+            self._net_params = {
+                "hand": load_model_params(seq.hand_model_path),
+                "obj": load_model_params(seq.obj_model_path),
+            }
+            self._net_key = key
+        return self._net_params
+
+    def frame_consts(self, seq: FitSequence, frame: FitFrame) -> Dict[str, jnp.ndarray]:
+        return {
+            "joints_pred": jnp.asarray(frame.joints_pred),
+            "bone_length": jnp.asarray(seq.bone_length),
+            "t_pose_21": jnp.asarray(seq.t_pose_21),
+            "Ro_pred": jnp.asarray(frame.obj_pose_pred[:3, :3]),
+            "To_pred": jnp.asarray(frame.obj_pose_pred[:3, 3]),
+            "obj_verts": jnp.asarray(seq.obj_verts),
+        }
+
+    def view_batch(self, frame: FitFrame, view_id: int, n_rays: int):
+        v = frame.views[view_id]
+        xy, rgb, m = sample_rays(
+            v.image, v.mask, v.mask_xy, n_rays, threshold=1.0, rng=self.rng
+        )
+        return {
+            "rays_xy": jnp.asarray(xy),
+            "true_rgb": jnp.asarray(rgb),
+            "true_mask": jnp.asarray(m),
+            "cam_R": jnp.asarray(v.cam_R),
+            "cam_T": jnp.asarray(v.cam_T),
+            "focal": jnp.asarray(v.focal),
+            "principal": jnp.asarray(v.principal),
+        }
+
+    def save_pose(self, path: str, pose_np: Dict[str, np.ndarray],
+                  frame: FitFrame) -> None:
+        param = dict(pose_np)
+        param["gt_joint3d"] = np.asarray(frame.joints_gt)
+        param["gt_Ro"] = np.asarray(frame.Ro_gt)
+        param["gt_To"] = np.asarray(frame.To_gt)
+        with open(path, "wb") as f:
+            pickle.dump(param, f)
+
+
+class SingleFitRunner(_FitBase):
+    """fitting_single.py equivalent (fit types '1' and '12')."""
+
+    def fitting(self) -> None:
+        # reference budgets (fitting_single.py:124-132); overridable
+        iter_num = {"1": 30, "12": 25}[self.fit_type]
+        if self.view_num == "3":
+            iter_num += 10
+        iter_num = self.conf.get_int("train.iter_num", iter_num)
+        for obj_name, frame_name in list_fit_sequences(self.data_root):
+            seq = load_fit_sequence(
+                self.data_root, obj_name, frame_name, self.view_num,
+                self.fit_type, self.fit_res_root, self.exp_root,
+                image_hw=(self.H, self.W),
+            )
+            nets = self.nets_for(seq)
+            step, opt = make_single_fit_step(
+                nets, self.hand_sdf_cfg, self.hand_color_cfg,
+                self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+            )
+            step = jax.jit(step)
+            save_base = os.path.join(
+                self.fit_res_root, f"view_{len(seq.frames[0].views)}",
+                self.fit_type, obj_name, frame_name,
+            )
+            pose_path = os.path.join(save_base, "pose_" + self.fit_type)
+            os.makedirs(pose_path, exist_ok=True)
+            cfg_dir = os.path.join(save_base, "config")
+            os.makedirs(cfg_dir, exist_ok=True)
+            if not os.path.exists(os.path.join(cfg_dir, "config.conf")):
+                shutil.copy(self.conf_path, os.path.join(cfg_dir, "config.conf"))
+            key = jax.random.PRNGKey(0)
+            for frame in seq.frames:
+                pose_file = os.path.join(pose_path, f"{frame.frame_id}.pickle")
+                if os.path.exists(pose_file):
+                    continue  # resume-by-artifact
+                consts = self.frame_consts(seq, frame)
+                pose = init_pose_params()
+                state = (pose, opt.init(pose))
+                for _it in range(iter_num):
+                    for view_id in range(len(frame.views)):
+                        batch = dict(consts)
+                        batch.update(
+                            self.view_batch(frame, view_id, self.fcfg.batch_size)
+                        )
+                        key, sub = jax.random.split(key)
+                        state, metrics = step(state, batch, sub)
+                logger.info(
+                    "frame %d: loss=%.4f joint=%.4f", frame.frame_id,
+                    float(metrics["loss"]), float(metrics["joint_loss"]),
+                )
+                self.save_pose(
+                    pose_file, final_pose_numpy(state[0], consts), frame
+                )
+
+
+class VideoFitRunner(_FitBase):
+    """fitting_video.py equivalent (fit types '123' and '1234')."""
+
+    def fitting(self) -> None:
+        fit_id = self.conf.get_int("general.fit_id", 0)
+        manifest_path = self.conf.get_string(
+            "general.sequence_list", "./sequence_list_for_fitting.pickle"
+        )
+        if os.path.exists(manifest_path):
+            from honerf_tpu.data.fit_datasets import load_sequence_manifest
+
+            entry = load_sequence_manifest(manifest_path)[fit_id]
+            pairs = [(entry["obj_name"], entry["frame_name"])]
+        else:
+            pairs = [list_fit_sequences(self.data_root)[fit_id]]
+        for obj_name, frame_name in pairs:
+            self._fit_sequence(obj_name, frame_name)
+
+    def _fit_sequence(self, obj_name: str, frame_name: str) -> None:
+        seq = load_fit_sequence(
+            self.data_root, obj_name, frame_name, self.view_num,
+            self.fit_type, self.fit_res_root, self.exp_root,
+            image_hw=(self.H, self.W),
+        )
+        n_frames = len(seq)
+        nets = self.nets_for(seq)
+        step, opt = make_video_fit_step(
+            nets, self.hand_sdf_cfg, self.hand_color_cfg,
+            self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg, n_frames,
+        )
+        step = jax.jit(step)
+        tables = init_video_tables(n_frames)
+        state = (tables, opt.init(tables))
+        save_base = os.path.join(
+            self.fit_res_root, f"view_{len(seq.frames[0].views)}",
+            self.fit_type, obj_name, frame_name,
+        )
+        key = jax.random.PRNGKey(0)
+        n_epochs = self.conf.get_int("train.epochs", 5)
+        sub_iters = self.conf.get_int("train.sub_iters", 4)
+        window = 4
+        rays_per_frame = self.conf.get_int("train.rays_per_frame", 40)
+        from honerf_tpu.data import FrameWindowSampler
+
+        sampler = FrameWindowSampler(n_frames, window)
+        for epoch in range(n_epochs):
+            for idx in sampler:
+                frames = [seq.frames[i] for i in idx]
+                consts = self._window_consts(seq, frames, idx)
+                for _sub in range(sub_iters):
+                    for view_id in range(len(frames[0].views)):
+                        batch = dict(consts)
+                        batch.update(
+                            self._window_view_batch(frames, view_id, rays_per_frame)
+                        )
+                        key, sub = jax.random.split(key)
+                        state, metrics = step(state, batch, sub)
+            logger.info(
+                "epoch %d: loss=%.4f smooth=%.4f", epoch,
+                float(metrics["loss"]), float(metrics["smooth_loss"]),
+            )
+            self._save_epoch_poses(seq, state[0], save_base, epoch)
+
+    def _window_consts(self, seq: FitSequence, frames: List[FitFrame], idx):
+        return {
+            "index": jnp.asarray(idx, jnp.int32),
+            "joints_pred": jnp.asarray(
+                np.stack([f.joints_pred for f in frames])
+            ),
+            "bone_length": jnp.asarray(
+                np.tile(seq.bone_length[None], (len(frames), 1))
+            ),
+            "t_pose_21": jnp.asarray(
+                np.tile(seq.t_pose_21[None], (len(frames), 1, 1))
+            ),
+            "Ro_pred": jnp.asarray(
+                np.stack([f.obj_pose_pred[:3, :3] for f in frames])
+            ),
+            "To_pred": jnp.asarray(
+                np.stack([f.obj_pose_pred[:3, 3] for f in frames])
+            ),
+            "obj_verts": jnp.asarray(seq.obj_verts),
+        }
+
+    def _window_view_batch(self, frames: List[FitFrame], view_id: int, n_rays: int):
+        xs, rgbs, ms = [], [], []
+        for f in frames:
+            v = f.views[view_id]
+            xy, rgb, m = sample_rays(
+                v.image, v.mask, v.mask_xy, n_rays, threshold=1.0, rng=self.rng
+            )
+            xs.append(xy)
+            rgbs.append(rgb)
+            ms.append(m)
+        v0 = frames[0].views[view_id]
+        return {
+            "rays_xy": jnp.asarray(np.stack(xs)),
+            "true_rgb": jnp.asarray(np.stack(rgbs)),
+            "true_mask": jnp.asarray(np.stack(ms)),
+            "cam_R": jnp.asarray(v0.cam_R),
+            "cam_T": jnp.asarray(v0.cam_T),
+            "focal": jnp.asarray(v0.focal),
+            "principal": jnp.asarray(v0.principal),
+        }
+
+    def _save_epoch_poses(self, seq: FitSequence, tables, save_base: str,
+                          epoch: int) -> None:
+        pose_path = os.path.join(save_base, f"pose_{epoch}")
+        os.makedirs(pose_path, exist_ok=True)
+        for i, frame in enumerate(seq.frames):
+            consts = self._window_consts(seq, [frame], [i])
+            joint_3d, obj_r, obj_t = window_pose(tables, consts)
+            self.save_pose(
+                os.path.join(pose_path, f"{frame.frame_id}.pickle"),
+                {
+                    "pred_joint3d": np.asarray(joint_3d[0]),
+                    "pred_Ro": np.asarray(obj_r[0]),
+                    "pred_To": np.asarray(obj_t[0]),
+                },
+                frame,
+            )
+
+
+class GetResRunner(_FitBase):
+    """get_res.py equivalent: meshes, penetration ids, renders from fitted
+    poses."""
+
+    def __init__(self, conf_path: str, case: str = "", render: bool = False):
+        super().__init__(conf_path, case)
+        self.render = render
+
+    def _pose_dir_type(self) -> str:
+        # '1'/'12' read their own pose dir; video types read pose_4
+        # (get_res.py:838-842: the final epoch's table)
+        return self.fit_type if self.fit_type in ("1", "12") else "4"
+
+    def fitting(self) -> None:
+        for obj_name, frame_name in list_fit_sequences(self.data_root):
+            seq = load_fit_sequence(
+                self.data_root, obj_name, frame_name, self.view_num, "1",
+                self.fit_res_root, self.exp_root, image_hw=(self.H, self.W),
+                load_test_views=self.render,
+            )
+            nets = self.nets_for(seq)
+            view_dir = f"view_{len(VIEW_LISTS[self.view_num])}"
+            save_base = os.path.join(
+                self.fit_res_root, "analys_res", view_dir, self.fit_type,
+                obj_name, frame_name,
+            )
+            if self.fit_type == "0":
+                # render from the raw network predictions
+                # (get_res.py:856-862, fit-type '0' render path)
+                for frame in seq.frames:
+                    fitted = {
+                        "pred_joint3d": frame.joints_pred,
+                        "pred_Ro": frame.obj_pose_pred[:3, :3],
+                        "pred_To": frame.obj_pose_pred[:3, 3],
+                    }
+                    self._process_frame(seq, frame, fitted, save_base, nets)
+                continue
+            pose_dir = os.path.join(
+                self.fit_res_root, view_dir, self.fit_type, obj_name,
+                frame_name, "pose_" + self._pose_dir_type(),
+            )
+            if not os.path.isdir(pose_dir):
+                logger.warning("no fitted poses at %s", pose_dir)
+                continue
+            for frame in seq.frames:
+                pose_file = os.path.join(pose_dir, f"{frame.frame_id}.pickle")
+                if not os.path.exists(pose_file):
+                    continue
+                with open(pose_file, "rb") as f:
+                    fitted = pickle.load(f)
+                self._process_frame(seq, frame, fitted, save_base, nets)
+
+    def _process_frame(self, seq, frame, fitted, save_base, nets) -> None:
+        joints = np.asarray(fitted["pred_joint3d"], np.float32)
+        obj_r = np.asarray(fitted["pred_Ro"], np.float32)
+        obj_t = np.asarray(fitted["pred_To"], np.float32)
+        bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+        t_pose = jnp.asarray(seq.t_pose_21)
+        hand_params = nets["hand"]
+        obj_params = nets["obj"]
+
+        @jax.jit
+        def hand_sdf(pts):
+            out, _, _, _ = sdf_hand_apply(
+                hand_params["sdf"], self.hand_sdf_cfg, pts, bt_inv, t_pose
+            )
+            return out[..., 0]
+
+        @jax.jit
+        def obj_sdf_world(pts):
+            local = (pts - jnp.asarray(obj_t)) @ jnp.asarray(obj_r)
+            return sdf_obj_apply(obj_params["sdf"], self.obj_sdf_cfg, local)[..., 0]
+
+        cur_obj_verts = seq.obj_verts @ obj_r.T + obj_t
+        if self.render:
+            render_path = os.path.join(save_base, "render_" + self.fit_type)
+            os.makedirs(render_path, exist_ok=True)
+            self._render_views(seq, frame, joints, obj_r, obj_t, render_path, nets)
+            return
+        resolution = self.conf.get_int("train.mesh_resolution", 64)
+        if self.fit_type in ("1", "12"):
+            mesh_path = os.path.join(save_base, "mesh_" + self.fit_type)
+            os.makedirs(mesh_path, exist_ok=True)
+            lo, hi = bounds_from_points(joints, 0.08)
+            hv, hf = extract_geometry(hand_sdf, lo, hi, resolution)
+            save_ply(os.path.join(mesh_path, f"{frame.frame_id}_hand.ply"), hv, hf)
+            lo, hi = bounds_from_points(cur_obj_verts, 0.08)
+            ov, of = extract_geometry(obj_sdf_world, lo, hi, resolution)
+            save_ply(os.path.join(mesh_path, f"{frame.frame_id}_obj.ply"), ov, of)
+        if self.fit_type in ("12", "123", "1234"):
+            inner_path = os.path.join(save_base, "inner_" + self.fit_type)
+            os.makedirs(inner_path, exist_ok=True)
+            ids = inner_point_ids(hand_sdf, cur_obj_verts)
+            with open(os.path.join(inner_path, f"{frame.frame_id}.pickle"), "wb") as f:
+                pickle.dump({"inner_point_id": ids}, f)
+
+    def _render_views(self, seq, frame, joints, obj_r, obj_t, render_path, nets):
+        bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+        hand_field = make_hand_field(
+            nets["hand"], self.hand_sdf_cfg, self.hand_color_cfg, bt_inv,
+            jnp.asarray(seq.t_pose_21),
+        )
+        obj_field = make_obj_field(nets["obj"], self.obj_sdf_cfg, self.obj_color_cfg)
+        rcfg = self.rcfg._replace(perturb=0.0)
+        chunk = 128
+
+        @jax.jit
+        def render_chunk(cam_R, cam_T, focal, principal, rays_xy):
+            cam = Camera(R=cam_R, T=cam_T, focal=focal, principal=principal)
+            rb = xy_to_ray_bundle(cam, rays_xy)
+            oo, do = rays_to_object_frame(
+                rb.origins, rb.directions, jnp.asarray(obj_r), jnp.asarray(obj_t)
+            )
+            out = render_dual(
+                hand_field, obj_field, rcfg, jax.random.PRNGKey(0),
+                rb.origins, rb.directions, oo, do, self.fcfg.near, self.fcfg.far,
+            )
+            return out["color_fine"]
+
+        grid = np.asarray(full_image_ndc_grid(self.H, self.W))
+        for tv in frame.test_views:
+            n = grid.shape[0]
+            img = np.zeros((n, 3), np.float32)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                rays = grid[s:e]
+                if rays.shape[0] < chunk:
+                    rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
+                out = render_chunk(
+                    jnp.asarray(tv.cam_R), jnp.asarray(tv.cam_T),
+                    jnp.asarray(tv.focal), jnp.asarray(tv.principal),
+                    jnp.asarray(rays),
+                )
+                img[s:e] = np.asarray(out)[: e - s]
+            img_u8 = np.clip(img.reshape(self.H, self.W, 3) * 255, 0, 255).astype(
+                np.uint8
+            )
+            from honerf_tpu.train.runner import _write_image
+
+            _write_image(os.path.join(render_path, tv.name), img_u8)

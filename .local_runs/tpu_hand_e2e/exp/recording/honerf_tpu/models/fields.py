@@ -1,0 +1,324 @@
+"""Neural field networks: hand/object SDF MLPs, color MLPs, deviation.
+
+Functional re-design of the reference networks (utils/fields.py) as pure
+`apply(params, ...)` functions over plain pytree parameters, with static
+architecture captured in hashable config NamedTuples (jit-friendly).
+
+Architecture parity (SURVEY.md §2.4):
+  * SDF MLPs: 8x256, skip at 4, d_out = 257 (sdf + 256-feature), Softplus
+    beta=100, geometric init, weight norm.
+  * Hand SDF input: flattened per-bone (v-PE || r-PE) * cutoff over 21 bones
+    (utils/fields.py:132-148).  Skip style: widened skip-layer input
+    (utils/fields.py:96-99).
+  * Object SDF input: xyz PE L=10 (63 ch); skip style: shrunk pre-skip
+    output (utils/fields.py:281-284).
+  * Color MLPs: 4x256 ReLU + sigmoid; hand eats (xyz_feature, 256-feat,
+    grad-PE); obj eats (point-PE, dir-PE, feat, grad-PE).
+  * Deviation: inv_s = exp(10 * variance), init 0.3 (utils/fields.py:243-249).
+  * se3_refine tables: hand (N, 36), obj (N, 9), initialized with identity
+    rot6d (utils/fields.py:127-130, :311-314).
+
+SDF spatial gradients use one vjp (forward + reverse) instead of the
+reference's autograd double-backprop (utils/fields.py:165-177) — the
+eikonal term's higher-order grads flow through it under jax.grad.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from honerf_tpu.models.embedding import (
+    hand_embedding,
+    hand_embedding_width,
+    positional_encoding,
+)
+from honerf_tpu.models.mlp import (
+    apply_linear,
+    geometric_init_weights,
+    init_linear,
+    softplus_beta,
+)
+
+Params = Dict[str, Any]
+
+SQRT2 = math.sqrt(2.0)
+
+
+class SDFConfig(NamedTuple):
+    """Static architecture of an SDF MLP (hand or object)."""
+
+    kind: str  # 'hand' | 'obj'
+    d_in: int = 3
+    d_out: int = 257
+    d_hidden: int = 256
+    n_layers: int = 8
+    skip_in: Tuple[int, ...] = (4,)
+    v_multires: int = 10
+    r_multires: int = 4  # hand: bone-direction PE L (7 in hand confs)
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    inside_outside: bool = False
+
+    @property
+    def input_width(self) -> int:
+        if self.kind == "hand":
+            return hand_embedding_width(self.v_multires, self.r_multires)
+        return self.d_in + 2 * self.v_multires * self.d_in
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        return (self.input_width,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+    @property
+    def skip_style(self) -> str:
+        return "widen_input" if self.kind == "hand" else "shrink_output"
+
+
+class ColorConfig(NamedTuple):
+    """Static architecture of a color MLP."""
+
+    kind: str  # 'hand' | 'obj'
+    d_feature: int = 256
+    d_in: int = 3
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 4
+    weight_norm: bool = True
+    v_multires: int = 10
+    r_multires: int = 4
+    grad_multires: int = 4
+    squeeze_out: bool = True
+    use_gradients: bool = True
+
+    @property
+    def input_width(self) -> int:
+        grad_ch = self.d_in + 2 * self.grad_multires * self.d_in
+        if self.kind == "hand":
+            # (v-emb + r-emb) x 21 bones + feature (+ gradient PE)
+            base = (
+                hand_embedding_width(self.v_multires, self.r_multires)
+                + self.d_feature
+            )
+            return base + (grad_ch if self.use_gradients else 0)
+        point_ch = self.d_in + 2 * self.v_multires * self.d_in
+        dir_ch = self.d_in + 2 * self.r_multires * self.d_in
+        return point_ch + dir_ch + self.d_feature + grad_ch
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        return (self.input_width,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+
+def sdf_config_from_conf(kind: str, conf: Dict[str, Any]) -> SDFConfig:
+    """Build from a `model.sdf_network` conf section (kwarg-splat parity with
+    exp_runner.py:91-105)."""
+    return SDFConfig(
+        kind=kind,
+        d_in=int(conf.get("d_in", 3)),
+        d_out=int(conf.get("d_out", 257)),
+        d_hidden=int(conf.get("d_hidden", 256)),
+        n_layers=int(conf.get("n_layers", 8)),
+        skip_in=tuple(conf.get("skip_in", [4])),
+        v_multires=int(conf.get("v_multires", 10)),
+        r_multires=int(conf.get("r_multires", 4)),
+        bias=float(conf.get("bias", 0.5)),
+        scale=float(conf.get("scale", 1.0)),
+        geometric_init=bool(conf.get("geometric_init", True)),
+        weight_norm=bool(conf.get("weight_norm", True)),
+        inside_outside=bool(conf.get("inside_outside", False)),
+    )
+
+
+def color_config_from_conf(kind: str, conf: Dict[str, Any]) -> ColorConfig:
+    return ColorConfig(
+        kind=kind,
+        d_feature=int(conf.get("d_feature", 256)),
+        d_in=int(conf.get("d_in", 3)),
+        d_out=int(conf.get("d_out", 3)),
+        d_hidden=int(conf.get("d_hidden", 256)),
+        n_layers=int(conf.get("n_layers", 4)),
+        weight_norm=bool(conf.get("weight_norm", True)),
+        v_multires=int(conf.get("v_multires", 10)),
+        r_multires=int(conf.get("r_multires", 4)),
+        grad_multires=int(conf.get("grad_multires", 4)),
+        squeeze_out=bool(conf.get("squeeze_out", True)),
+        use_gradients=bool(conf.get("use_gradients", True)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_sdf_params(key, cfg: SDFConfig) -> Params:
+    dims = cfg.dims
+    layers = []
+    if cfg.geometric_init:
+        wb = geometric_init_weights(
+            key, dims, cfg.skip_in, cfg.bias, cfg.inside_outside, cfg.skip_style
+        )
+        for w, b in wb:
+            layers.append(init_linear(None, 0, 0, cfg.weight_norm, w_init=w, b_init=b))
+    else:
+        keys = jax.random.split(key, len(dims) - 1)
+        for l in range(len(dims) - 1):
+            if cfg.skip_style == "widen_input":
+                d_in = dims[l] + dims[0] if l in cfg.skip_in else dims[l]
+                d_out = dims[l + 1]
+            else:
+                d_in = dims[l]
+                d_out = dims[l + 1] - dims[0] if (l + 1) in cfg.skip_in else dims[l + 1]
+            layers.append(init_linear(keys[l], d_in, d_out, cfg.weight_norm))
+    return {"layers": layers}
+
+
+def init_color_params(key, cfg: ColorConfig) -> Params:
+    dims = cfg.dims
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = [
+        init_linear(keys[l], dims[l], dims[l + 1], cfg.weight_norm)
+        for l in range(len(dims) - 1)
+    ]
+    return {"layers": layers}
+
+
+def init_variance_params(init_val: float = 0.3) -> Params:
+    return {"variance": jnp.asarray(float(init_val))}
+
+
+def init_se3_refine(n_frames: int, kind: str) -> jnp.ndarray:
+    """Per-training-image pose-refinement table: identity rot6d in the first
+    6 slots (utils/fields.py:127-130, :311-314)."""
+    width = 36 if kind == "hand" else 9
+    table = jnp.zeros((n_frames, width))
+    return table.at[:, 0].set(1.0).at[:, 3].set(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Application
+# ---------------------------------------------------------------------------
+
+def _mlp_trunk(
+    layers, x: jnp.ndarray, skip_in: Tuple[int, ...], n_layers_total: int,
+    activation,
+) -> jnp.ndarray:
+    inputs = x
+    for l in range(n_layers_total - 1):
+        if l in skip_in:
+            x = jnp.concatenate([x, inputs], axis=-1) / SQRT2
+        x = apply_linear(layers[l], x)
+        if l < n_layers_total - 2:
+            x = activation(x)
+    return x
+
+
+def sdf_obj_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    """Object SDF forward: (..., 3) -> (..., 257) [sdf/scale, features]."""
+    emb = jnp.concatenate([pts, positional_encoding(pts, cfg.v_multires)], axis=-1)
+    out = _mlp_trunk(
+        params["layers"], emb, cfg.skip_in, len(cfg.dims), softplus_beta
+    )
+    return jnp.concatenate([out[..., :1] / cfg.scale, out[..., 1:]], axis=-1)
+
+
+def sdf_hand_apply(
+    params: Params,
+    cfg: SDFConfig,
+    pts: jnp.ndarray,
+    bt_inv: jnp.ndarray,
+    t_pose_21: jnp.ndarray,
+):
+    """Hand SDF forward.
+
+    Returns (out257, xyz_feature, r, h) like the reference forward
+    (utils/fields.py:132-156)."""
+    xyz_feature, r, h = hand_embedding(
+        pts, bt_inv, t_pose_21, cfg.v_multires, cfg.r_multires
+    )
+    out = _mlp_trunk(
+        params["layers"], xyz_feature, cfg.skip_in, len(cfg.dims), softplus_beta
+    )
+    return out, xyz_feature, r, h
+
+
+def color_hand_apply(
+    params: Params,
+    cfg: ColorConfig,
+    xyz_feature: jnp.ndarray,
+    feature_vector: jnp.ndarray,
+    gradients: jnp.ndarray,
+) -> jnp.ndarray:
+    """Hand color net (utils/fields.py:222-240).  The raw view dirs and the
+    cutoff gate h are accepted by the reference forward but unused; the
+    actual input is (xyz_feature || feature || gradient-PE)."""
+    x = jnp.concatenate([xyz_feature, feature_vector], axis=-1)
+    if cfg.use_gradients:
+        grad_emb = jnp.concatenate(
+            [gradients, positional_encoding(gradients, cfg.grad_multires)], axis=-1
+        )
+        x = jnp.concatenate([x, grad_emb], axis=-1)
+    out = _mlp_trunk(params["layers"], x, (), len(cfg.dims), jax.nn.relu)
+    return jax.nn.sigmoid(out) if cfg.squeeze_out else out
+
+
+def color_obj_apply(
+    params: Params,
+    cfg: ColorConfig,
+    pts: jnp.ndarray,
+    dirs: jnp.ndarray,
+    feature_vector: jnp.ndarray,
+    gradients: jnp.ndarray,
+) -> jnp.ndarray:
+    """Object color net (utils/fields.py:387-405)."""
+    point_emb = jnp.concatenate([pts, positional_encoding(pts, cfg.v_multires)], -1)
+    dir_emb = jnp.concatenate([dirs, positional_encoding(dirs, cfg.r_multires)], -1)
+    grad_emb = jnp.concatenate(
+        [gradients, positional_encoding(gradients, cfg.grad_multires)], -1
+    )
+    x = jnp.concatenate([point_emb, dir_emb, feature_vector, grad_emb], axis=-1)
+    out = _mlp_trunk(params["layers"], x, (), len(cfg.dims), jax.nn.relu)
+    return jax.nn.sigmoid(out) if cfg.squeeze_out else out
+
+
+def variance_apply(params: Params) -> jnp.ndarray:
+    """inv_s = exp(10 * variance), clipped like the renderer does
+    (utils/renderer.py:144)."""
+    return jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+
+
+# ---------------------------------------------------------------------------
+# Value + spatial gradient (single vjp; replaces autograd double-backprop)
+# ---------------------------------------------------------------------------
+
+def sdf_obj_value_feat_grad(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
+    """Returns (sdf (...,1), features (...,256), grad (...,3)) in one
+    forward + one reverse pass."""
+    out, vjp = jax.vjp(lambda p: sdf_obj_apply(params, cfg, p), pts)
+    cot = jnp.zeros_like(out).at[..., 0].set(1.0)
+    (grad,) = vjp(cot)
+    return out[..., :1], out[..., 1:], grad
+
+
+def sdf_hand_value_feat_grad(
+    params: Params,
+    cfg: SDFConfig,
+    pts: jnp.ndarray,
+    bt_inv: jnp.ndarray,
+    t_pose_21: jnp.ndarray,
+):
+    """Returns (sdf, features, xyz_feature, r, h, grad) in one forward + one
+    reverse pass (gradient w.r.t. world-space pts)."""
+    def fwd(p):
+        out, xyz_feature, r, h = sdf_hand_apply(params, cfg, p, bt_inv, t_pose_21)
+        return out, (xyz_feature, r, h)
+
+    out, vjp, (xyz_feature, r, h) = jax.vjp(fwd, pts, has_aux=True)
+    cot = jnp.zeros_like(out).at[..., 0].set(1.0)
+    (grad,) = vjp(cot)
+    return out[..., :1], out[..., 1:], xyz_feature, r, h, grad

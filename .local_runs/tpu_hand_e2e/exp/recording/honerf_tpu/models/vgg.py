@@ -1,0 +1,167 @@
+"""VGG19 feature extractor + perceptual loss in pure JAX.
+
+Replaces the reference's torchvision-pretrained `VGGLoss`
+(utils/fields.py:407-433): five feature stages cut at torchvision
+`vgg19().features` indices (2, 7, 12, 21, 30), L1 distance per stage with
+unit weights, and the reference's quirks preserved — NO ImageNet
+normalization of the inputs, and the target branch is stop_gradient'ed
+(torch.no_grad, utils/fields.py:429-430).
+
+Weights: `load_torchvision_vgg19` converts a torchvision vgg19 .pth into
+the params pytree; `init_vgg19_params` gives a random-init fallback so the
+loss stays runnable (shape/flow-wise) in environments without the
+pretrained file (this container has no network egress).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# VGG19 conv plan: channels per conv layer, 'M' = 2x2 max pool.
+VGG19_PLAN = [
+    64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M", 512, 512, 512, 512, "M",
+]
+
+# torchvision features-module indices at which the reference cuts stages
+# (utils/fields.py:410).
+FEATURE_LAYERS = (2, 7, 12, 21, 30)
+
+
+def _plan_to_torch_indices() -> List[int]:
+    """torchvision index of each conv in `features` (conv,relu pairs with
+    pools interleaved)."""
+    idx, out = 0, []
+    for item in VGG19_PLAN:
+        if item == "M":
+            idx += 1
+        else:
+            out.append(idx)
+            idx += 2
+    return out
+
+
+def init_vgg19_params(key, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+    """He-init random conv stack (fallback when pretrained weights are
+    unavailable)."""
+    params = []
+    c_in = 3
+    for item in VGG19_PLAN:
+        if item == "M":
+            continue
+        key, sub = jax.random.split(key)
+        fan_in = c_in * 9
+        w = jax.random.normal(sub, (item, c_in, 3, 3), dtype) * math.sqrt(2.0 / fan_in)
+        params.append({"w": w, "b": jnp.zeros((item,), dtype)})
+        c_in = item
+    return params
+
+
+def load_torchvision_vgg19(path: Optional[str] = None):
+    """Convert torchvision vgg19 weights (.pth state dict) to our pytree.
+    Searches the default torch hub cache when `path` is None; returns None
+    if nothing is found."""
+    if path is None:
+        hub = os.environ.get(
+            "TORCH_HOME", os.path.expanduser("~/.cache/torch")
+        )
+        cand = os.path.join(hub, "hub", "checkpoints")
+        if os.path.isdir(cand):
+            for name in sorted(os.listdir(cand)):
+                if name.startswith("vgg19") and name.endswith(".pth"):
+                    path = os.path.join(cand, name)
+                    break
+    if path is None or not os.path.exists(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params = []
+    for t_idx in _plan_to_torch_indices():
+        params.append(
+            {
+                "w": jnp.asarray(sd[f"features.{t_idx}.weight"].numpy()),
+                "b": jnp.asarray(sd[f"features.{t_idx}.bias"].numpy()),
+            }
+        )
+    return params
+
+
+def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """NCHW conv, stride 1, SAME(1) padding — torchvision semantics."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + b[None, :, None, None]
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    )
+
+
+def vgg19_stage_features(
+    params: List[Dict[str, jnp.ndarray]], x: jnp.ndarray,
+    feature_layers: Sequence[int] = FEATURE_LAYERS,
+) -> List[jnp.ndarray]:
+    """Run the conv stack, returning activations at each stage boundary.
+
+    Args:
+        x: (N, 3, H, W) images in [0, 1] (reference feeds raw colors).
+    """
+    outs = []
+    conv_i = 0
+    torch_idx = 0
+    targets = set(feature_layers)
+    for item in VGG19_PLAN:
+        if item == "M":
+            x = _maxpool2(x)
+            torch_idx += 1
+        else:
+            x = _conv3x3(x, params[conv_i]["w"], params[conv_i]["b"])
+            conv_i += 1
+            torch_idx += 1
+            if torch_idx in targets:
+                outs.append(x)  # stage cut falls on the conv output
+            x = jax.nn.relu(x)
+            torch_idx += 1
+            if torch_idx in targets:
+                outs.append(x)
+        if len(outs) == len(feature_layers):
+            break
+    return outs
+
+
+def vgg_perceptual_loss(
+    params: List[Dict[str, jnp.ndarray]],
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Sum of per-stage L1 feature distances; the target branch carries no
+    gradient (utils/fields.py:425-433)."""
+    fs = vgg19_stage_features(params, source)
+    ft = vgg19_stage_features(params, jax.lax.stop_gradient(target))
+    loss = 0.0
+    for w, a, b in zip(weights, fs, ft):
+        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+    return loss
+
+
+def make_patch_vgg_loss(params):
+    """(H, W, 3) pred/gt patches -> scalar, with the reference's
+    permute(2,1,0) HWC->CWH quirk (exp_runner.py:229-230)."""
+
+    def loss_fn(pred_hwc: jnp.ndarray, gt_hwc: jnp.ndarray) -> jnp.ndarray:
+        pred = jnp.transpose(pred_hwc, (2, 1, 0))[None]
+        gt = jnp.transpose(gt_hwc, (2, 1, 0))[None]
+        return vgg_perceptual_loss(params, pred, gt)
+
+    return loss_fn

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused object-SDF MLP inference.
+
+The object SDF evaluation (PE embedding -> 9-layer weight-normed MLP with
+the shrink-output skip at layer 4) is the innermost op of hierarchical
+sampling (utils/renderer.py:214-236), full-image eval renders and grid
+extraction.  The XLA version round-trips activations through HBM between
+layers; this kernel keeps ALL weights + activations resident in VMEM and
+computes the positional encoding in-register, so each point block touches
+HBM exactly twice (read 3 floats, write 1 float per point).
+
+Layout: points are processed in (BLOCK, 3) tiles over a 1-D grid; weights
+are pre-materialized from the (v, g, b) weight-norm parametrization (tiny
+host-side jit work), transposed to (in, out), zero-padded so every
+contraction is 128-lane aligned, and cast to bf16 for the MXU with f32
+accumulation (`preferred_element_type`).
+
+Inference-only; the differentiable fine pass stays in XLA so higher-order
+autodiff (eikonal) remains exact.
+
+STATUS (measured on TPU v5e, 56k points, full-size obj net): numerically
+correct vs the XLA path (max err ~1e-3 from bf16 weights) but currently
+0.45x XLA's speed (4.0 ms vs 1.8 ms) — XLA's own fusion of this MLP already
+reaches ~31 M pts/s and Mosaic's pipeliner needs per-layer buffer reuse
+(fori_loop over layers + explicit scratch) to beat it; larger point blocks
+OOM the 16MB scoped VMEM because of PE/concat liveness.  Kept as an
+experimental op (off by default) and a baseline for the next kernel
+iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from honerf_tpu.models.fields import SDFConfig
+from honerf_tpu.models.mlp import linear_weight
+
+BLOCK = 512  # VMEM cap: 2048-pt blocks exceed the 16MB scoped limit
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class KernelMeta(NamedTuple):
+    """Hashable static description of the MLP (jit static arg)."""
+
+    n_layers: int
+    emb_width: int
+    skip_in: Tuple[int, ...]
+    dims: Tuple[int, ...]
+    v_multires: int
+    scale: float
+
+
+def pack_obj_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
+    """Materialize padded bf16 (in, out) weights + f32 biases for the
+    kernel."""
+    dims = cfg.dims
+    ws: List[jnp.ndarray] = []
+    bs: List[jnp.ndarray] = []
+    for layer in params["layers"]:
+        w = linear_weight(layer).T  # (in, out)
+        b = layer["b"]
+        in_pad = _round_up(w.shape[0], _LANE)
+        out_pad = _round_up(w.shape[1], _LANE)
+        w = jnp.pad(w, ((0, in_pad - w.shape[0]), (0, out_pad - w.shape[1])))
+        b = jnp.pad(b, (0, out_pad - b.shape[0]))
+        ws.append(w.astype(jnp.bfloat16))
+        # biases as (1, out) rows: TPU VMEM wants >= 2D operands
+        bs.append(b.astype(jnp.float32)[None, :])
+    meta = KernelMeta(
+        n_layers=len(dims) - 1,
+        emb_width=cfg.input_width,
+        skip_in=tuple(cfg.skip_in),
+        dims=tuple(dims),
+        v_multires=cfg.v_multires,
+        scale=float(cfg.scale),
+    )
+    return tuple(ws), tuple(bs), meta
+
+
+def _pe_block(pts: jnp.ndarray, n_freqs: int, width_pad: int) -> jnp.ndarray:
+    """(B, 3) -> (B, width_pad) embedding [x,y,z, per-channel sinL..cosL],
+    zero-padded — matches models.embedding.positional_encoding layout."""
+    cols = [pts]
+    # unrolled per-frequency scalar multiplies: Mosaic rejects float iota
+    # and Pallas kernels cannot capture constant arrays
+    for c in range(3):
+        x = pts[:, c:c + 1]
+        sins = [jnp.sin(x * float(2.0**k)) for k in range(n_freqs)]
+        coss = [jnp.cos(x * float(2.0**k)) for k in range(n_freqs)]
+        cols.append(jnp.concatenate(sins, axis=-1))
+        cols.append(jnp.concatenate(coss, axis=-1))
+    emb = jnp.concatenate(cols, axis=-1)
+    return jnp.pad(emb, ((0, 0), (0, width_pad - emb.shape[-1])))
+
+
+def _make_kernel(meta: KernelMeta):
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_scale = 1.0 / meta.scale
+    emb_pad = _round_up(meta.emb_width, _LANE)
+
+    def kernel(pts_ref, *refs):
+        n_layers = meta.n_layers
+        ws = refs[:n_layers]
+        bs = refs[n_layers:2 * n_layers]
+        out_ref = refs[2 * n_layers]
+        emb = _pe_block(pts_ref[:], meta.v_multires, emb_pad)
+        x = emb
+        beta = 100.0
+        for l in range(n_layers):
+            if l in meta.skip_in:
+                # shrink-output skip (obj net): re-attach the raw embedding
+                d_prev = meta.dims[l] - meta.emb_width
+                x = jnp.concatenate(
+                    [x[:, :d_prev], emb[:, :meta.emb_width]], axis=-1
+                ) * inv_sqrt2
+                x = jnp.pad(x, ((0, 0), (0, ws[l].shape[0] - x.shape[-1])))
+            y = (
+                jnp.dot(
+                    x.astype(jnp.bfloat16), ws[l][:],
+                    preferred_element_type=jnp.float32,
+                )
+                + bs[l][0, :]
+            )
+            if l < n_layers - 1:
+                y = jnp.logaddexp(beta * y, 0.0) / beta
+                # zero the padding lanes again (softplus(0) != 0)
+                d_out = (
+                    meta.dims[l + 1] - meta.dims[0]
+                    if (l + 1) in meta.skip_in
+                    else meta.dims[l + 1]
+                )
+                if d_out % _LANE != 0:
+                    mask = (
+                        jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) < d_out
+                    )
+                    y = jnp.where(mask, y, 0.0)
+            x = y
+        out_ref[:] = x[:, :_LANE] * inv_scale
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _run_kernel(pts_pad, ws, bs, meta: KernelMeta):
+    n = pts_pad.shape[0]
+    n_layers = meta.n_layers
+    in_specs = [
+        pl.BlockSpec((BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in ws:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for b in bs:
+        in_specs.append(
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    return pl.pallas_call(
+        _make_kernel(meta),
+        out_shape=jax.ShapeDtypeStruct((n, _LANE), jnp.float32),
+        grid=(n // BLOCK,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (BLOCK, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(pts_pad, *ws, *bs)
+
+
+class FusedObjSDF:
+    """Callable (N, 3) -> (N,) fused SDF evaluator.
+
+    Build once per parameter snapshot:
+        fused = FusedObjSDF(params['sdf'], sdf_cfg)
+        sdf = fused(pts)
+    """
+
+    def __init__(self, sdf_params: Dict[str, Any], cfg: SDFConfig):
+        assert cfg.kind == "obj", "fused kernel covers the object SDF"
+        self.ws, self.bs, self.meta = pack_obj_sdf_weights(sdf_params, cfg)
+
+    def __call__(self, pts: jnp.ndarray) -> jnp.ndarray:
+        n = pts.shape[0]
+        n_pad = _round_up(max(n, BLOCK), BLOCK)
+        pts_pad = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+        out = _run_kernel(pts_pad, self.ws, self.bs, self.meta)
+        return out[:n, 0]

@@ -1,0 +1,17 @@
+from honerf_tpu.parallel.mesh import (
+    DATA_AXIS,
+    data_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated_sharding,
+    shard_ray_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "data_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicated_sharding",
+    "shard_ray_batch",
+]

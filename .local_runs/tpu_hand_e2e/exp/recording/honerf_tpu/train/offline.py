@@ -1,0 +1,321 @@
+"""Offline-stage training: jitted train/eval steps for the object and hand
+SDF models.
+
+Functional equivalent of the reference `Runner.train` inner loop
+(exp_runner.py:127-263): per-view pose refinement (se3_refine ->
+rot6d/translation updates), ray-bundle construction, NeuS render, and the
+masked-L1 + mask-BCE + eikonal (+ VGG) loss — all inside ONE compiled XLA
+program per step.  The hand path additionally runs the HALO kinematic chain
+in-graph (wired by the runner once `honerf_tpu.hand` provides it).
+
+Sharding: the step is jitted with the ray axis sharded over the `data` mesh
+axis and parameters replicated; gradients all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from honerf_tpu.camera import Camera, xy_to_ray_bundle
+from honerf_tpu.models.fields import ColorConfig, SDFConfig
+from honerf_tpu.render.losses import mask_bce, masked_l1_color, masked_psnr
+from honerf_tpu.render.neus import (
+    RenderConfig,
+    make_hand_field,
+    make_obj_field,
+    rays_to_object_frame,
+    render_single,
+)
+from honerf_tpu.train.schedule import make_lr_schedule
+from honerf_tpu.utils.transforms import rot6d_to_matrix
+
+Params = Dict[str, Any]
+
+
+class TrainHyper(NamedTuple):
+    """Static training hyperparameters (`train` conf section)."""
+
+    near: float = 0.4
+    far: float = 1.5
+    learning_rate: float = 1e-4
+    learning_rate_alpha: float = 0.05
+    end_iter: int = 300000
+    warm_up_end: float = 5000.0
+    igr_weight: float = 1.0
+    mask_weight: float = 1.0
+    vgg_weight: float = 1.0
+    refine_pose: bool = True
+    batch_size: int = 441
+
+    @classmethod
+    def from_conf(cls, conf) -> "TrainHyper":
+        return cls(
+            near=float(conf["train.near"]),
+            far=float(conf["train.far"]),
+            learning_rate=float(conf["train.learning_rate"]),
+            learning_rate_alpha=float(conf["train.learning_rate_alpha"]),
+            end_iter=int(conf["train.end_iter"]),
+            warm_up_end=float(conf.get("train.warm_up_end", 0.0)),
+            igr_weight=float(conf["train.igr_weight"]),
+            mask_weight=float(conf["train.mask_weight"]),
+            vgg_weight=float(conf.get("train.vgg_weight", 0.0)),
+            refine_pose=bool(conf.get("train.refine_pose", True)),
+            batch_size=int(conf["train.batch_size"]),
+        )
+
+
+def make_optimizer(tcfg: TrainHyper) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(
+        tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter, tcfg.learning_rate_alpha
+    )
+    return optax.adam(learning_rate=schedule)
+
+
+def init_train_state(params: Params, tcfg: TrainHyper) -> Dict[str, Any]:
+    opt = make_optimizer(tcfg)
+    return {"params": params, "opt_state": opt.init(params), "step": jnp.asarray(0)}
+
+
+def refined_obj_pose(
+    params: Params, tcfg: TrainHyper, Ro: jnp.ndarray, To: jnp.ndarray, index
+):
+    """Apply the per-view learnable object pose correction
+    (exp_runner.py:152-161): Ro' = rot6d(refine[:6]) @ Ro,
+    To' = To + 0.1 * refine[6:9]."""
+    if not tcfg.refine_pose:
+        return Ro, To
+    ref = params["se3_refine"][index]
+    d_rot = rot6d_to_matrix(ref[:6])
+    return d_rot @ Ro, To + ref[6:9] * 0.1
+
+
+def obj_render_from_batch(
+    params: Params,
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    batch: Dict[str, jnp.ndarray],
+    key,
+) -> Dict[str, jnp.ndarray]:
+    """Camera -> rays -> object-frame -> NeuS render, all in-graph."""
+    cam = Camera(
+        R=batch["cam_R"], T=batch["cam_T"],
+        focal=batch["focal"], principal=batch["principal"],
+    )
+    rb = xy_to_ray_bundle(cam, batch["rays_xy"])
+    Ro, To = refined_obj_pose(params, tcfg, batch["Ro"], batch["To"], batch["index"])
+    o, d = rays_to_object_frame(rb.origins, rb.directions, Ro, To)
+    field = make_obj_field(params, sdf_cfg, color_cfg)
+    return render_single(
+        field, rcfg, key, o, d, tcfg.near, tcfg.far, cumprod_seed="prev_cdf"
+    )
+
+
+def offline_losses(
+    out: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray], tcfg: TrainHyper
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Masked L1 + mask BCE + eikonal (exp_runner.py:220-227)."""
+    true_mask = (batch["true_mask"] > 0.5).astype(jnp.float32)
+    color_loss = masked_l1_color(out["color_fine"], batch["true_rgb"], true_mask)
+    m_loss = mask_bce(out["weight_sum"], true_mask)
+    eik = out["gradient_error"]
+    loss = color_loss + m_loss * tcfg.mask_weight + eik * tcfg.igr_weight
+    psnr = masked_psnr(out["color_fine"], batch["true_rgb"], true_mask)
+    metrics = {
+        "loss": loss,
+        "color_loss": color_loss,
+        "mask_loss": m_loss,
+        "eikonal_loss": eik,
+        "psnr": psnr,
+        "s_val": jnp.mean(out["s_val"]),
+    }
+    return loss, metrics
+
+
+def make_obj_train_step(
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    vgg_loss_fn: Optional[Callable] = None,
+):
+    """Build the jittable object-model train step.
+
+    vgg_loss_fn: optional (params-free) callable (pred_patch, gt_patch,
+    ramp) -> scalar added when the batch carries `vgg_ramp` > 0 (patch
+    batches; exp_runner.py:228-236).
+    """
+    opt = make_optimizer(tcfg)
+
+    def loss_fn(params, batch, key):
+        out = obj_render_from_batch(params, sdf_cfg, color_cfg, rcfg, tcfg, batch, key)
+        loss, metrics = offline_losses(out, batch, tcfg)
+        if vgg_loss_fn is not None and tcfg.vgg_weight > 0:
+            side = int(round(float(tcfg.batch_size) ** 0.5))
+            pred = out["color_fine"].reshape(side, side, 3)
+            gt = batch["true_rgb"].reshape(side, side, 3)
+            vgg = vgg_loss_fn(pred, gt)
+            loss = loss + batch["vgg_ramp"] * tcfg.vgg_weight * vgg
+            metrics = dict(metrics, vgg_loss=vgg, loss=loss)
+        return loss, metrics
+
+    def step_fn(state, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state["params"], batch, key)
+        updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+def refined_hand_pose(params: Params, tcfg: TrainHyper, batch):
+    """Per-view learnable hand pose refinement (exp_runner.py:163-189):
+    se3_refine row -> palm rot6d / 0.1-scaled translation / 20 joint angles
+    / 0.1-scaled 7 palm angles, pushed through the inverse HALO path."""
+    from honerf_tpu.hand import bone_transforms_from_mano_joints, refined_hand_joints
+
+    joints = batch["joints"][None]  # (1, 21, 3)
+    if tcfg.refine_pose:
+        ref = params["se3_refine"][batch["index"]][None]  # (1, 36)
+        joints = refined_hand_joints(
+            joints,
+            batch["bone_length"][None],
+            joint_refine_angle=ref[:, 9:29],
+            palm_refine_angle=ref[:, 29:36] * 0.1,
+            palm_rot6d=ref[:, :6],
+            palm_trans=ref[:, 6:9] * 0.1,
+        )
+    bt_inv = bone_transforms_from_mano_joints(joints)[0]
+    return bt_inv
+
+
+def hand_render_from_batch(
+    params: Params,
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    batch: Dict[str, jnp.ndarray],
+    key,
+) -> Dict[str, jnp.ndarray]:
+    """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph."""
+    cam = Camera(
+        R=batch["cam_R"], T=batch["cam_T"],
+        focal=batch["focal"], principal=batch["principal"],
+    )
+    rb = xy_to_ray_bundle(cam, batch["rays_xy"])
+    bt_inv = refined_hand_pose(params, tcfg, batch)
+    field = make_hand_field(
+        params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"]
+    )
+    return render_single(
+        field, rcfg, key, rb.origins, rb.directions, tcfg.near, tcfg.far,
+        cumprod_seed="prev_cdf",
+    )
+
+
+def make_hand_train_step(
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainHyper,
+    vgg_loss_fn: Optional[Callable] = None,
+):
+    """Jittable hand-model train step: the HALO kinematic chain runs inside
+    the compiled program and se3_refine gradients flow through it."""
+    opt = make_optimizer(tcfg)
+
+    def loss_fn(params, batch, key):
+        out = hand_render_from_batch(params, sdf_cfg, color_cfg, rcfg, tcfg, batch, key)
+        loss, metrics = offline_losses(out, batch, tcfg)
+        if vgg_loss_fn is not None and tcfg.vgg_weight > 0:
+            side = int(round(float(tcfg.batch_size) ** 0.5))
+            pred = out["color_fine"].reshape(side, side, 3)
+            gt = batch["true_rgb"].reshape(side, side, 3)
+            vgg = vgg_loss_fn(pred, gt)
+            loss = loss + batch["vgg_ramp"] * tcfg.vgg_weight * vgg
+            metrics = dict(metrics, vgg_loss=vgg, loss=loss)
+        return loss, metrics
+
+    def step_fn(state, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state["params"], batch, key)
+        updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            metrics,
+        )
+
+    return step_fn
+
+
+def make_multi_step(step_fn):
+    """Wrap a (state, batch, key) -> (state, metrics) step into a
+    K-steps-per-dispatch version via lax.scan.
+
+    The tunneled TPU costs ~3.5 ms per dispatch plus one host->device
+    transfer per batch array; uploading K stacked batches and scanning K
+    optimizer steps inside one XLA program amortizes both (the end-to-end
+    training loop went from 3.8 to near-step-rate throughput).
+
+    Args:
+        step_fn: the single-step function (obj or hand).
+    Returns:
+        multi(state, batches, keys) -> (state, metrics stacked over K).
+        `batches` is the batch dict with a leading K axis on every leaf;
+        `keys` is (K, 2) PRNG keys.
+    """
+
+    def multi(state, batches, keys):
+        def body(s, xs):
+            batch, key = xs
+            return step_fn(s, batch, key)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return multi
+
+
+def make_obj_eval_render(
+    sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
+):
+    """Jittable chunked eval render (no grad, perturb off)."""
+    rcfg_eval = rcfg._replace(perturb=0.0)
+
+    def render_chunk(params, batch, key):
+        out = obj_render_from_batch(
+            params, sdf_cfg, color_cfg, rcfg_eval, tcfg, batch, key
+        )
+        return out["color_fine"], out["weight_sum"]
+
+    return render_chunk
+
+
+def make_hand_eval_render(
+    sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
+):
+    """Jittable chunked eval render for the hand model (pose from batch
+    joints, no refinement — matches validate/test recomputing bt_inv,
+    exp_runner.py:318-331)."""
+    rcfg_eval = rcfg._replace(perturb=0.0)
+    tcfg_eval = tcfg._replace(refine_pose=False)
+
+    def render_chunk(params, batch, key):
+        out = hand_render_from_batch(
+            params, sdf_cfg, color_cfg, rcfg_eval, tcfg_eval, batch, key
+        )
+        return out["color_fine"], out["weight_sum"]
+
+    return render_chunk

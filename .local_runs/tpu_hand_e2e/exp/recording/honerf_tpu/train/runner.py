@@ -1,0 +1,354 @@
+"""Offline-stage Runner: config-driven training/test/mesh workflows.
+
+The `exp_runner.py` equivalent (reference :26-537): owns config, data,
+networks, optimizer, loop, checkpointing and metrics, with the same CLI
+surface (train / test / mesh modes, --is_continue resume from the
+lexicographically-latest checkpoint, per-run source snapshots) — but the
+per-step work is one jitted XLA program and observability is a JSONL
+metrics stream instead of TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from shutil import copyfile
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from honerf_tpu.camera import full_image_ndc_grid
+from honerf_tpu.config import load_config
+from honerf_tpu.data import RayBatchLoader, load_offline_dataset
+from honerf_tpu.extract import bounds_from_points, extract_geometry
+from honerf_tpu.models import (
+    color_config_from_conf,
+    init_color_params,
+    init_sdf_params,
+    init_se3_refine,
+    init_variance_params,
+    sdf_config_from_conf,
+)
+from honerf_tpu.render import RenderConfig
+from honerf_tpu.train.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from honerf_tpu.train.offline import (
+    TrainHyper,
+    init_train_state,
+    make_hand_eval_render,
+    make_hand_train_step,
+    make_obj_eval_render,
+    make_obj_train_step,
+)
+from honerf_tpu.utils.ply import save_ply
+
+logger = logging.getLogger(__name__)
+
+
+class MetricsLogger:
+    """JSONL scalar stream (the TensorBoard-writer equivalent,
+    exp_runner.py:244-251).
+
+    Deferred: device scalars are buffered and materialized every
+    `flush_every` steps — fetching a value per step would sync the
+    tunneled TPU every iteration (a ~38 ms round trip that was dominating
+    the training loop at 2.8 steps/s)."""
+
+    def __init__(self, path: str, flush_every: int = 20):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._f = open(path, "a")
+        self._buf: list = []
+        self._flush_every = flush_every
+
+    def log(self, step: int, scalars: Dict[str, Any]) -> None:
+        self._buf.append((step, 1, time.time(), dict(scalars)))
+        if sum(b[1] for b in self._buf) >= self._flush_every:
+            self.flush()
+
+    def log_chunk(self, first_step: int, k: int, stacked: Dict[str, Any]) -> None:
+        """Buffer a K-step metrics chunk (leading K axis on every value)
+        WITHOUT touching the device arrays — even slicing `arr[i]` at log
+        time dispatches a device op through the tunnel; materialization
+        happens wholesale at flush."""
+        self._buf.append((first_step, k, time.time(), dict(stacked)))
+        if sum(b[1] for b in self._buf) >= self._flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        for step, k, t, scalars in self._buf:
+            host = {name: np.asarray(v) for name, v in scalars.items()}
+            for i in range(k):
+                rec = {"step": step + i, "time": t}
+                rec.update(
+                    {
+                        name: float(v[i] if v.ndim else v)
+                        for name, v in host.items()
+                    }
+                )
+                self._f.write(json.dumps(rec) + "\n")
+        self._buf.clear()
+        self._f.flush()
+
+
+class OfflineRunner:
+    def __init__(self, conf_path: str, mode: str = "train", case: str = "",
+                 is_continue: bool = False):
+        self.conf_path = conf_path
+        self.conf = load_config(conf_path, case)
+        self.base_exp_dir = self.conf["general.base_exp_dir"]
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+        self.model_type = self.conf.get_string("general.model_type")
+        self.data_type = self.conf.get_string("general.data_type")
+        self.H, self.W = self.conf.get_list("dataset.image_size")
+        self.mode = mode
+
+        self.tcfg = TrainHyper.from_conf(self.conf)
+        self.rcfg = RenderConfig.from_conf(self.conf["model.neus_renderer"])
+        self.sdf_cfg = sdf_config_from_conf(
+            self.model_type, self.conf["model.sdf_network"]
+        )
+        self.color_cfg = color_config_from_conf(
+            self.model_type, self.conf["model.rendering_network"]
+        )
+        init_val = float(self.conf["model.variance_network"]["init_val"])
+
+        self.train_scene = load_offline_dataset(
+            self.conf.get_string("dataset.traindata_dir"), self.model_type, "train"
+        )
+        self.test_scene = load_offline_dataset(
+            self.conf.get_string("dataset.testdata_dir"), self.model_type, "test"
+        )
+        self.loader = RayBatchLoader(self.train_scene, self.tcfg.batch_size)
+
+        key = jax.random.PRNGKey(0)
+        params = {
+            "sdf": init_sdf_params(key, self.sdf_cfg),
+            "color": init_color_params(jax.random.PRNGKey(1), self.color_cfg),
+            "variance": init_variance_params(init_val),
+            "se3_refine": init_se3_refine(len(self.train_scene), self.model_type),
+        }
+        self.state = init_train_state(params, self.tcfg)
+        self.iter_step = 0
+
+        if self.model_type == "obj":
+            self._raw_step = make_obj_train_step(
+                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg
+            )
+            self._eval_render = jax.jit(
+                make_obj_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
+            )
+        else:
+            self._raw_step = make_hand_train_step(
+                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg
+            )
+            self._eval_render = jax.jit(
+                make_hand_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
+            )
+        self._step = jax.jit(self._raw_step)
+        self.key = jax.random.PRNGKey(42)
+
+        if is_continue:
+            ckpt = latest_checkpoint(os.path.join(self.base_exp_dir, "checkpoints"))
+            if ckpt:
+                logger.info("resuming from %s", ckpt)
+                self.load_checkpoint_file(ckpt)
+        if mode.startswith("train"):
+            self.file_backup()
+        self.metrics = MetricsLogger(os.path.join(self.base_exp_dir, "logs", "metrics.jsonl"))
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def file_backup(self) -> None:
+        """Per-run source snapshot (exp_runner.py:276-286)."""
+        rec_dir = os.path.join(self.base_exp_dir, "recording")
+        os.makedirs(rec_dir, exist_ok=True)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            rel = os.path.relpath(dirpath, os.path.dirname(pkg_root))
+            for fname in filenames:
+                if fname.endswith(".py"):
+                    dst_dir = os.path.join(rec_dir, rel)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    copyfile(os.path.join(dirpath, fname), os.path.join(dst_dir, fname))
+        copyfile(self.conf_path, os.path.join(rec_dir, "config.conf"))
+
+    def save_checkpoint_file(self) -> None:
+        path = os.path.join(
+            self.base_exp_dir, "checkpoints", f"ckpt_{self.iter_step:06d}.npz"
+        )
+        tree = dict(self.state)
+        tree["iter_step"] = np.asarray(self.iter_step)
+        save_checkpoint(path, tree)
+
+    def load_checkpoint_file(self, path: str) -> None:
+        tree = load_checkpoint(path)
+        self.iter_step = int(tree.pop("iter_step"))
+        # adopt array leaves; keep optimizer structure from the loaded tree
+        self.state = jax.tree.map(jnp.asarray, tree)
+        self.state["step"] = jnp.asarray(self.iter_step)
+
+    # ------------------------------------------------------------------
+    # workflows
+    # ------------------------------------------------------------------
+
+    def _batch_stream(self, vgg_start: float):
+        """Infinite shuffled per-view batch generator (patch sampling after
+        vgg_start, exp_runner.py:134-143)."""
+        while True:
+            for batch_np in self.loader.epoch(patch=self.iter_step > vgg_start):
+                yield batch_np
+
+    def train(self) -> None:
+        t = self.tcfg
+        report_freq = self.conf.get_int("train.report_freq", 100)
+        save_freq = self.conf.get_int("train.save_freq", 5000)
+        val_freq = self.conf.get_int("train.val_freq", 5000)
+        # K optimizer steps per device dispatch (lax.scan): amortizes the
+        # ~3.5 ms tunnel dispatch + per-array upload costs.  Checkpoints/
+        # validation run on chunk boundaries.
+        chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 8))
+        vgg_start = t.end_iter * 0.3
+        stream = self._batch_stream(vgg_start)
+        from honerf_tpu.train.offline import make_multi_step
+
+        multi_step = jax.jit(make_multi_step(self._raw_step))
+        while self.iter_step < t.end_iter:
+            # align chunks to the next save/val/end boundary so checkpoint
+            # and validation iteration numbers match the single-step loop
+            k = min(
+                chunk_k,
+                t.end_iter - self.iter_step,
+                save_freq - self.iter_step % save_freq,
+                val_freq - self.iter_step % val_freq,
+            )
+            batch_list = [next(stream) for _ in range(k)]
+            stacked = {
+                key: jnp.asarray(np.stack([b[key] for b in batch_list]))
+                for key in batch_list[0]
+            }
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, k)
+            self.state, ms = multi_step(self.state, stacked, keys)
+            self.metrics.log_chunk(self.iter_step + 1, k, ms)
+            self.iter_step += k
+            if self.iter_step % report_freq < k:
+                logger.info(
+                    "iter %d loss=%.4f color=%.4f mask=%.4f eik=%.4f psnr=%.2f",
+                    self.iter_step, float(ms["loss"][-1]),
+                    float(ms["color_loss"][-1]), float(ms["mask_loss"][-1]),
+                    float(ms["eikonal_loss"][-1]), float(ms["psnr"][-1]),
+                )
+            if self.iter_step % save_freq == 0:
+                self.save_checkpoint_file()
+            if self.iter_step % val_freq == 0:
+                self.validate_image()
+        self.metrics.flush()
+
+    def _render_full_image(self, view_idx: int, scene=None) -> np.ndarray:
+        scene = scene or self.test_scene
+        v = scene.views[view_idx]
+        grid = np.asarray(full_image_ndc_grid(self.H, self.W))
+        # full-image renders are inference-only: larger chunks amortize
+        # dispatch overhead (the reference chunks at batch_size,
+        # exp_runner.py:356; `train.eval_chunk` overrides)
+        chunk = self.conf.get_int("train.eval_chunk", self.tcfg.batch_size)
+        n = grid.shape[0]
+        out = np.zeros((n, 3), np.float32)
+        base = {
+            "cam_R": jnp.asarray(v.cam_R),
+            "cam_T": jnp.asarray(v.cam_T),
+            "focal": jnp.asarray(v.focal),
+            "principal": jnp.asarray(v.principal),
+            "Ro": jnp.asarray(v.Ro),
+            "To": jnp.asarray(v.To),
+            "joints": jnp.asarray(v.joints),
+            "t_pose_21": jnp.asarray(scene.t_pose_21),
+            "bone_length": jnp.asarray(scene.bone_length),
+            "index": jnp.asarray(view_idx, jnp.int32),
+        }
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            rays = grid[s:e]
+            if rays.shape[0] < chunk:
+                rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
+            batch = dict(base, rays_xy=jnp.asarray(rays))
+            color, _ws = self._eval_render(
+                self.state["params"], batch, jax.random.PRNGKey(0)
+            )
+            out[s:e] = np.asarray(color)[: e - s]
+        return out.reshape(self.H, self.W, 3)
+
+    def test(self) -> None:
+        out_dir = os.path.join(self.base_exp_dir, "test_render")
+        os.makedirs(out_dir, exist_ok=True)
+        for i, v in enumerate(self.test_scene.views):
+            img = self._render_full_image(i)
+            img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            name = v.name.replace(".pickle", ".png")
+            _write_image(os.path.join(out_dir, name), img_u8)
+            logger.info("wrote %s", name)
+
+    def validate_image(self, idx: int = 0) -> None:
+        out_dir = os.path.join(self.base_exp_dir, "validations_fine")
+        os.makedirs(out_dir, exist_ok=True)
+        img = self._render_full_image(idx)
+        img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        _write_image(
+            os.path.join(out_dir, f"{self.iter_step:08d}_{idx}.png"), img_u8
+        )
+
+    def validate_mesh(self, resolution: int = 64, threshold: float = 0.0) -> None:
+        """Mesh extraction for each test view's pose
+        (exp_runner.py:462-536)."""
+        from honerf_tpu.models import sdf_hand_apply, sdf_obj_apply
+        from honerf_tpu.hand import bone_transforms_from_mano_joints
+
+        mesh_dir = os.path.join(self.base_exp_dir, "meshes")
+        os.makedirs(mesh_dir, exist_ok=True)
+        params = self.state["params"]
+        for i, v in enumerate(self.test_scene.views):
+            if self.model_type == "hand":
+                bt_inv = bone_transforms_from_mano_joints(
+                    jnp.asarray(v.joints)[None]
+                )[0]
+                t_pose = jnp.asarray(self.test_scene.t_pose_21)
+
+                @jax.jit
+                def sdf_fn(pts, bt_inv=bt_inv, t_pose=t_pose):
+                    out, _, _, _ = sdf_hand_apply(
+                        params["sdf"], self.sdf_cfg, pts, bt_inv, t_pose
+                    )
+                    return out[..., 0]
+
+                lo, hi = bounds_from_points(v.joints, 0.15)
+            else:
+                @jax.jit
+                def sdf_fn(pts):
+                    return sdf_obj_apply(params["sdf"], self.sdf_cfg, pts)[..., 0]
+
+                lo, hi = np.full(3, -0.2), np.full(3, 0.2)
+            verts, tris = extract_geometry(sdf_fn, lo, hi, resolution, threshold)
+            save_ply(os.path.join(mesh_dir, f"{i:08d}.ply"), verts * 1000.0, tris)
+            logger.info("mesh %d: %d verts", i, len(verts))
+
+
+def _write_image(path: str, img_u8: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(path, img_u8[..., ::-1])  # RGB -> BGR
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(img_u8).save(path)
