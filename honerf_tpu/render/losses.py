@@ -38,7 +38,8 @@ def masked_psnr(
     """PSNR over masked pixels (reference: exp_runner.py:222)."""
     mask_sum = jnp.sum(mask) + 1e-5
     mse = jnp.sum((color - true_rgb) ** 2 * mask) / (mask_sum * 3.0)
-    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+    # floor keeps the metric finite when the masked error underflows
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
 
 
 def pose_l2(target: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
