@@ -280,7 +280,10 @@ class VideoFitRunner(_FitBase):
                 "epoch %d: loss=%.4f smooth=%.4f", epoch,
                 float(metrics["loss"]), float(metrics["smooth_loss"]),
             )
-            self._save_epoch_poses(seq, state[0], save_base, epoch)
+            self._save_epoch_poses(
+                seq, state[0], save_base, epoch,
+                final=(epoch == n_epochs - 1),
+            )
 
     def _window_consts(self, seq: FitSequence, frames: List[FitFrame], idx):
         return {
@@ -325,9 +328,15 @@ class VideoFitRunner(_FitBase):
         }
 
     def _save_epoch_poses(self, seq: FitSequence, tables, save_base: str,
-                          epoch: int) -> None:
+                          epoch: int, final: bool = False) -> None:
         pose_path = os.path.join(save_base, f"pose_{epoch}")
         os.makedirs(pose_path, exist_ok=True)
+        # optional per-frame full renders after the last epoch
+        # (fitting_video.py:345-349 get_render_all)
+        do_render = final and self.conf.get_bool("general.get_render_all", False)
+        render_path = os.path.join(save_base, f"render_{epoch}")
+        if do_render:
+            os.makedirs(render_path, exist_ok=True)
         for i, frame in enumerate(seq.frames):
             consts = self._window_consts(seq, [frame], [i])
             joint_3d, obj_r, obj_t = window_pose(tables, consts)
@@ -340,6 +349,14 @@ class VideoFitRunner(_FitBase):
                 },
                 frame,
             )
+            if do_render:
+                render_dual_views(
+                    self.nets_for(seq), self.hand_sdf_cfg, self.hand_color_cfg,
+                    self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+                    seq, np.asarray(joint_3d[0]), np.asarray(obj_r[0]),
+                    np.asarray(obj_t[0]), frame.views[:1], self.H, self.W,
+                    render_path,
+                )
 
 
 class GetResRunner(_FitBase):
@@ -439,46 +456,58 @@ class GetResRunner(_FitBase):
                 pickle.dump({"inner_point_id": ids}, f)
 
     def _render_views(self, seq, frame, joints, obj_r, obj_t, render_path, nets):
-        bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
-        hand_field = make_hand_field(
-            nets["hand"], self.hand_sdf_cfg, self.hand_color_cfg, bt_inv,
-            jnp.asarray(seq.t_pose_21),
+        render_dual_views(
+            nets, self.hand_sdf_cfg, self.hand_color_cfg, self.obj_sdf_cfg,
+            self.obj_color_cfg, self.rcfg, self.fcfg, seq, joints, obj_r,
+            obj_t, frame.test_views, self.H, self.W, render_path,
         )
-        obj_field = make_obj_field(nets["obj"], self.obj_sdf_cfg, self.obj_color_cfg)
-        rcfg = self.rcfg._replace(perturb=0.0)
-        chunk = 128
 
-        @jax.jit
-        def render_chunk(cam_R, cam_T, focal, principal, rays_xy):
-            cam = Camera(R=cam_R, T=cam_T, focal=focal, principal=principal)
-            rb = xy_to_ray_bundle(cam, rays_xy)
-            oo, do = rays_to_object_frame(
-                rb.origins, rb.directions, jnp.asarray(obj_r), jnp.asarray(obj_t)
-            )
-            out = render_dual(
-                hand_field, obj_field, rcfg, jax.random.PRNGKey(0),
-                rb.origins, rb.directions, oo, do, self.fcfg.near, self.fcfg.far,
-            )
-            return out["color_fine"]
 
-        grid = np.asarray(full_image_ndc_grid(self.H, self.W))
-        for tv in frame.test_views:
-            n = grid.shape[0]
-            img = np.zeros((n, 3), np.float32)
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                rays = grid[s:e]
-                if rays.shape[0] < chunk:
-                    rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
-                out = render_chunk(
-                    jnp.asarray(tv.cam_R), jnp.asarray(tv.cam_T),
-                    jnp.asarray(tv.focal), jnp.asarray(tv.principal),
-                    jnp.asarray(rays),
-                )
-                img[s:e] = np.asarray(out)[: e - s]
-            img_u8 = np.clip(img.reshape(self.H, self.W, 3) * 255, 0, 255).astype(
-                np.uint8
-            )
-            from honerf_tpu.train.runner import _write_image
+def render_dual_views(
+    nets, hand_sdf_cfg, hand_color_cfg, obj_sdf_cfg, obj_color_cfg,
+    rcfg, fcfg, seq, joints, obj_r, obj_t, views, H, W, render_path,
+    chunk: int = 128,
+):
+    """Full-image dual-volume renders of `views` at a fitted pose — shared
+    by GetResRunner (get_res.py:246-287) and the video fitter's optional
+    per-epoch renders (fitting_video.py:426-474)."""
+    bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+    hand_field = make_hand_field(
+        nets["hand"], hand_sdf_cfg, hand_color_cfg, bt_inv,
+        jnp.asarray(seq.t_pose_21),
+    )
+    obj_field = make_obj_field(nets["obj"], obj_sdf_cfg, obj_color_cfg)
+    rcfg = rcfg._replace(perturb=0.0)
 
-            _write_image(os.path.join(render_path, tv.name), img_u8)
+    @jax.jit
+    def render_chunk(cam_R, cam_T, focal, principal, rays_xy):
+        cam = Camera(R=cam_R, T=cam_T, focal=focal, principal=principal)
+        rb = xy_to_ray_bundle(cam, rays_xy)
+        oo, do = rays_to_object_frame(
+            rb.origins, rb.directions, jnp.asarray(obj_r), jnp.asarray(obj_t)
+        )
+        out = render_dual(
+            hand_field, obj_field, rcfg, jax.random.PRNGKey(0),
+            rb.origins, rb.directions, oo, do, fcfg.near, fcfg.far,
+        )
+        return out["color_fine"]
+
+    grid = np.asarray(full_image_ndc_grid(H, W))
+    for tv in views:
+        n = grid.shape[0]
+        img = np.zeros((n, 3), np.float32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            rays = grid[s:e]
+            if rays.shape[0] < chunk:
+                rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
+            out = render_chunk(
+                jnp.asarray(tv.cam_R), jnp.asarray(tv.cam_T),
+                jnp.asarray(tv.focal), jnp.asarray(tv.principal),
+                jnp.asarray(rays),
+            )
+            img[s:e] = np.asarray(out)[: e - s]
+        img_u8 = np.clip(img.reshape(H, W, 3) * 255, 0, 255).astype(np.uint8)
+        from honerf_tpu.train.runner import _write_image
+
+        _write_image(os.path.join(render_path, tv.name), img_u8)
