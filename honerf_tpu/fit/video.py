@@ -160,9 +160,12 @@ def make_video_fit_step(
         c_loss = contact_loss(sdf_h, sdf_o)
         p_loss = penetration_loss(sdf_h, sdf_o)
 
-        smooth = pose_l2(joint_3d[1:], joint_3d[:-1]) + pose_l2(
-            pred_v[1:], pred_v[:-1]
-        )
+        if F > 1:
+            smooth = pose_l2(joint_3d[1:], joint_3d[:-1]) + pose_l2(
+                pred_v[1:], pred_v[:-1]
+            )
+        else:  # degenerate 1-frame window: no adjacent-frame term
+            smooth = jnp.asarray(0.0)
         # boundary anchors (fitting_video.py:313-320)
         first = (batch["index"][0] == 0).astype(jnp.float32)
         last = (batch["index"][-1] == n_frames - 1).astype(jnp.float32)
