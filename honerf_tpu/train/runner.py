@@ -194,8 +194,20 @@ class OfflineRunner:
     def load_checkpoint_file(self, path: str) -> None:
         tree = load_checkpoint(path)
         self.iter_step = int(tree.pop("iter_step"))
-        # adopt array leaves; keep optimizer structure from the loaded tree
-        self.state = jax.tree.map(jnp.asarray, tree)
+        # The npz round trip turns optax NamedTuple states into plain lists;
+        # re-hang the loaded leaves on the freshly-initialized state's
+        # treedef so optimizer updates keep working after resume.  Leaf
+        # order matches because jax.tree sorts dict keys on both sides and
+        # NamedTuple fields serialize positionally.
+        ref_leaves, treedef = jax.tree.flatten(self.state)
+        leaves = jax.tree.leaves(tree)
+        assert len(leaves) == len(ref_leaves), (
+            f"checkpoint structure mismatch: {len(leaves)} leaves vs "
+            f"{len(ref_leaves)} expected"
+        )
+        self.state = jax.tree.unflatten(
+            treedef, [jnp.asarray(l) for l in leaves]
+        )
         self.state["step"] = jnp.asarray(self.iter_step)
 
     # ------------------------------------------------------------------

@@ -110,6 +110,15 @@ def test_runner_train_checkpoint_resume(workspace):
     a = np.asarray(runner.state["params"]["sdf"]["layers"][0]["v"])
     b = np.asarray(runner2.state["params"]["sdf"]["layers"][0]["v"])
     np.testing.assert_allclose(a, b)
+    # the optimizer state must survive the npz round trip structurally:
+    # resuming and CONTINUING TRAINING must work (optax NamedTuples)
+    import optax
+
+    assert isinstance(runner2.state["opt_state"][0], optax.ScaleByAdamState)
+    runner3 = OfflineRunner(conf_path, mode="train", case="bean", is_continue=True)
+    runner3.tcfg = runner3.tcfg._replace(end_iter=16)
+    runner3.train()
+    assert runner3.iter_step == 16
 
 
 def test_runner_test_render_and_mesh(workspace):
