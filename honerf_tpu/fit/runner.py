@@ -194,6 +194,14 @@ class SingleFitRunner(_FitBase):
             os.makedirs(cfg_dir, exist_ok=True)
             if not os.path.exists(os.path.join(cfg_dir, "config.conf")):
                 shutil.copy(self.conf_path, os.path.join(cfg_dir, "config.conf"))
+            from honerf_tpu.train.offline import make_multi_step
+
+            # K (iter, view) steps per device dispatch: rays for the whole
+            # chunk are presampled on the host and uploaded as one stack
+            # (per-step dispatch + upload through the TPU tunnel would
+            # otherwise dominate the 38.7 ms fit step)
+            chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 40))
+            multi_step = jax.jit(make_multi_step(step))
             key = jax.random.PRNGKey(0)
             for frame in seq.frames:
                 pose_file = os.path.join(pose_path, f"{frame.frame_id}.pickle")
@@ -202,17 +210,33 @@ class SingleFitRunner(_FitBase):
                 consts = self.frame_consts(seq, frame)
                 pose = init_pose_params()
                 state = (pose, opt.init(pose))
-                for _it in range(iter_num):
-                    for view_id in range(len(frame.views)):
-                        batch = dict(consts)
-                        batch.update(
-                            self.view_batch(frame, view_id, self.fcfg.batch_size)
+                n_views = len(frame.views)
+                schedule = [
+                    (it, view_id)
+                    for it in range(iter_num)
+                    for view_id in range(n_views)
+                ]
+                for start in range(0, len(schedule), chunk_k):
+                    part = schedule[start:start + chunk_k]
+                    view_batches = [
+                        self.view_batch(frame, view_id, self.fcfg.batch_size)
+                        for (_it, view_id) in part
+                    ]
+                    stacked = dict(consts)
+                    for name in view_batches[0]:
+                        stacked[name] = jnp.stack([b[name] for b in view_batches])
+                    # frame constants broadcast over the chunk axis
+                    for name in consts:
+                        stacked[name] = jnp.broadcast_to(
+                            consts[name][None],
+                            (len(part),) + consts[name].shape,
                         )
-                        key, sub = jax.random.split(key)
-                        state, metrics = step(state, batch, sub)
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, len(part))
+                    state, metrics = multi_step(state, stacked, keys)
                 logger.info(
                     "frame %d: loss=%.4f joint=%.4f", frame.frame_id,
-                    float(metrics["loss"]), float(metrics["joint_loss"]),
+                    float(metrics["loss"][-1]), float(metrics["joint_loss"][-1]),
                 )
                 self.save_pose(
                     pose_file, final_pose_numpy(state[0], consts), frame
@@ -264,21 +288,35 @@ class VideoFitRunner(_FitBase):
         from honerf_tpu.data import FrameWindowSampler
 
         sampler = FrameWindowSampler(n_frames, window)
+        from honerf_tpu.train.offline import make_multi_step
+
+        # one dispatch per (window, sub_iters x views) chunk — see the
+        # single-frame fitter for the rationale
+        multi_step = jax.jit(make_multi_step(step))
         for epoch in range(n_epochs):
             for idx in sampler:
                 frames = [seq.frames[i] for i in idx]
                 consts = self._window_consts(seq, frames, idx)
-                for _sub in range(sub_iters):
-                    for view_id in range(len(frames[0].views)):
-                        batch = dict(consts)
-                        batch.update(
-                            self._window_view_batch(frames, view_id, rays_per_frame)
-                        )
-                        key, sub = jax.random.split(key)
-                        state, metrics = step(state, batch, sub)
+                view_batches = [
+                    self._window_view_batch(frames, view_id, rays_per_frame)
+                    for _sub in range(sub_iters)
+                    for view_id in range(len(frames[0].views))
+                ]
+                k = len(view_batches)
+                stacked = {
+                    name: jnp.stack([b[name] for b in view_batches])
+                    for name in view_batches[0]
+                }
+                for name in consts:
+                    stacked[name] = jnp.broadcast_to(
+                        consts[name][None], (k,) + consts[name].shape
+                    )
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, k)
+                state, metrics = multi_step(state, stacked, keys)
             logger.info(
                 "epoch %d: loss=%.4f smooth=%.4f", epoch,
-                float(metrics["loss"]), float(metrics["smooth_loss"]),
+                float(metrics["loss"][-1]), float(metrics["smooth_loss"][-1]),
             )
             self._save_epoch_poses(
                 seq, state[0], save_base, epoch,
