@@ -139,18 +139,20 @@ class _FitBase:
         }
 
     def view_batch(self, frame: FitFrame, view_id: int, n_rays: int):
+        """Host-side (numpy) per-view ray batch — upload happens once per
+        stacked chunk, not per array."""
         v = frame.views[view_id]
         xy, rgb, m = sample_rays(
             v.image, v.mask, v.mask_xy, n_rays, threshold=1.0, rng=self.rng
         )
         return {
-            "rays_xy": jnp.asarray(xy),
-            "true_rgb": jnp.asarray(rgb),
-            "true_mask": jnp.asarray(m),
-            "cam_R": jnp.asarray(v.cam_R),
-            "cam_T": jnp.asarray(v.cam_T),
-            "focal": jnp.asarray(v.focal),
-            "principal": jnp.asarray(v.principal),
+            "rays_xy": xy,
+            "true_rgb": rgb,
+            "true_mask": m,
+            "cam_R": v.cam_R,
+            "cam_T": v.cam_T,
+            "focal": v.focal,
+            "principal": v.principal,
         }
 
     def save_pose(self, path: str, pose_np: Dict[str, np.ndarray],
@@ -222,9 +224,14 @@ class SingleFitRunner(_FitBase):
                         self.view_batch(frame, view_id, self.fcfg.batch_size)
                         for (_it, view_id) in part
                     ]
-                    stacked = dict(consts)
-                    for name in view_batches[0]:
-                        stacked[name] = jnp.stack([b[name] for b in view_batches])
+                    # stack on the HOST: jnp.stack over a python list
+                    # uploads every element as its own transfer
+                    stacked = {
+                        name: jnp.asarray(
+                            np.stack([np.asarray(b[name]) for b in view_batches])
+                        )
+                        for name in view_batches[0]
+                    }
                     # frame constants broadcast over the chunk axis
                     for name in consts:
                         stacked[name] = jnp.broadcast_to(
@@ -304,7 +311,9 @@ class VideoFitRunner(_FitBase):
                 ]
                 k = len(view_batches)
                 stacked = {
-                    name: jnp.stack([b[name] for b in view_batches])
+                    name: jnp.asarray(
+                        np.stack([np.asarray(b[name]) for b in view_batches])
+                    )
                     for name in view_batches[0]
                 }
                 for name in consts:
