@@ -227,6 +227,10 @@ def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
     import sys
 
     ws = pipeline_ws
+    # artifacts come from the end-to-end flow; produce them if this test
+    # runs in isolation
+    if not os.path.isdir(os.path.join(ws, "fit_res", "view_4", "12")):
+        test_fit_pipeline_end_to_end(pipeline_ws)
     # model zoo layout the pose CLI expects: <base>/<obj>_cppose/<obj>_ours.ply
     model_base = os.path.join(ws, "offline_stage_data")
     os.makedirs(os.path.join(model_base, "bean_cppose"), exist_ok=True)
@@ -264,3 +268,17 @@ def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
     analys_pci.main()
     out = capsys.readouterr().out
     assert "inner_12 pci:" in out
+
+    from honerf_tpu.cli import analys_acc_err
+
+    sys.argv = [
+        "analys_acc_err",
+        "--base_path", os.path.join(ws, "fit_res", "view_4"),
+        "--model_base_path", model_base,
+        "--stages", "12:pose_12", "123:pose_1",
+    ]
+    analys_acc_err.main()
+    out = capsys.readouterr().out
+    # only 2 frames -> acceleration needs >= 3; the CLI must degrade
+    # gracefully, not crash
+    assert "no data" in out or "acc_joint" in out
