@@ -289,12 +289,26 @@ class OfflineRunner:
             "bone_length": jnp.asarray(scene.bone_length),
             "index": jnp.asarray(view_idx, jnp.int32),
         }
+        # multi-device: shard the chunk's ray axis over the mesh (params
+        # replicated); GSPMD partitions the eval render automatically
+        n_dev = len(jax.devices())
+        mesh = None
+        if n_dev > 1:
+            from honerf_tpu.parallel import data_sharding, make_mesh
+
+            mesh = make_mesh()
+            chunk = -(-chunk // n_dev) * n_dev  # round up to divide the mesh
+            ray_sharding = data_sharding(mesh)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             rays = grid[s:e]
             if rays.shape[0] < chunk:
                 rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
-            batch = dict(base, rays_xy=jnp.asarray(rays))
+            rays_dev = (
+                jax.device_put(rays, ray_sharding) if mesh is not None
+                else jnp.asarray(rays)
+            )
+            batch = dict(base, rays_xy=rays_dev)
             color, _ws = self._eval_render(
                 self.state["params"], batch, jax.random.PRNGKey(0)
             )
