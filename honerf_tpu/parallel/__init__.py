@@ -15,3 +15,6 @@ __all__ = [
     "replicated_sharding",
     "shard_ray_batch",
 ]
+from honerf_tpu.parallel.shard_step import make_obj_train_step_shardmap
+
+__all__.append("make_obj_train_step_shardmap")
