@@ -18,13 +18,14 @@ Inference-only; the differentiable fine pass stays in XLA so higher-order
 autodiff (eikonal) remains exact.
 
 STATUS (measured on TPU v5e, 56k points, full-size obj net): numerically
-correct vs the XLA path (max err ~1e-3 from bf16 weights) but currently
-0.45x XLA's speed (4.0 ms vs 1.8 ms) — XLA's own fusion of this MLP already
-reaches ~31 M pts/s and Mosaic's pipeliner needs per-layer buffer reuse
-(fori_loop over layers + explicit scratch) to beat it; larger point blocks
-OOM the 16MB scoped VMEM because of PE/concat liveness.  Kept as an
-experimental op (off by default) and a baseline for the next kernel
-iteration.
+correct vs the XLA path (max err ~1e-3 from bf16 weights); after tightening
+PE liveness the kernel runs 2.7 ms vs XLA's 1.8 ms (0.63x).  XLA is
+HBM-bound here (~1 GB of inter-layer activation traffic per pass), so an
+ideal fused kernel has ~3x headroom, but capturing it needs cross-layer
+MXU pipelining (the per-block serial layer chain stalls the MXU during
+VPU phases); BLOCK=1024 exceeds the 16 MB scoped VMEM and 768 tiles
+irregularly (4.3 ms).  Kept as an experimental op (off by default) with
+the measured baselines for the next kernel iteration.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from honerf_tpu.models.fields import SDFConfig
 from honerf_tpu.models.mlp import linear_weight
 
-BLOCK = 512  # VMEM cap: 2048-pt blocks exceed the 16MB scoped limit
+BLOCK = 512  # VMEM cap: 1024-pt blocks fail to fit the 16MB scoped limit
 _LANE = 128
 
 
@@ -89,16 +90,24 @@ def pack_obj_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
 
 def _pe_block(pts: jnp.ndarray, n_freqs: int, width_pad: int) -> jnp.ndarray:
     """(B, 3) -> (B, width_pad) embedding [x,y,z, per-channel sinL..cosL],
-    zero-padded — matches models.embedding.positional_encoding layout."""
+    zero-padded — matches models.embedding.positional_encoding layout.
+
+    One batched sin/cos pair over a (B, 3*L) spectrum (built with scalar
+    multiplies: Mosaic rejects float iota and captured constant arrays),
+    then a single reorder — keeps temporary liveness at ~3 block-arrays.
+    """
+    L = n_freqs
+    # spectrum columns ordered [x*f0..x*fL, y*f0..y*fL, z*f0..z*fL]
+    spec = jnp.concatenate(
+        [pts[:, c:c + 1] * float(2.0**k) for c in range(3) for k in range(L)],
+        axis=-1,
+    )
+    s = jnp.sin(spec)
+    co = jnp.cos(spec)
     cols = [pts]
-    # unrolled per-frequency scalar multiplies: Mosaic rejects float iota
-    # and Pallas kernels cannot capture constant arrays
     for c in range(3):
-        x = pts[:, c:c + 1]
-        sins = [jnp.sin(x * float(2.0**k)) for k in range(n_freqs)]
-        coss = [jnp.cos(x * float(2.0**k)) for k in range(n_freqs)]
-        cols.append(jnp.concatenate(sins, axis=-1))
-        cols.append(jnp.concatenate(coss, axis=-1))
+        cols.append(s[:, c * L:(c + 1) * L])
+        cols.append(co[:, c * L:(c + 1) * L])
     emb = jnp.concatenate(cols, axis=-1)
     return jnp.pad(emb, ((0, 0), (0, width_pad - emb.shape[-1])))
 
