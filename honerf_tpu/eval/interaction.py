@@ -24,6 +24,8 @@ def intersect_volume(
 ) -> float:
     """Volume of the object voxels inside the hand mesh, in the reference's
     reported unit (x 1e6 -> cm^3; analys_interaction.py:14-19, :33-35)."""
+    if len(obj_verts) == 0 or len(hand_verts) == 0:
+        return 0.0  # empty extraction (no zero crossing in the bbox)
     pts = voxel_points(obj_verts, obj_faces, pitch)
     if len(pts) == 0:
         return 0.0
@@ -38,6 +40,8 @@ def penetration_depth(
 ) -> float:
     """Max distance of penetrating hand vertices to the object surface, in
     mm (analys_interaction.py:44-55)."""
+    if len(hand_verts) == 0 or len(obj_verts) == 0:
+        return 0.0
     inside = contains(hand_verts, obj_verts, obj_faces)
     if inside.sum() == 0:
         return 0.0

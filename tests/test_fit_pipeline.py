@@ -282,3 +282,22 @@ def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
     # only 2 frames -> acceleration needs >= 3; the CLI must degrade
     # gracefully, not crash
     assert "no data" in out or "acc_joint" in out
+
+    # interaction analysis needs fit-1 meshes too
+    from honerf_tpu.cli import analys_interaction
+    from honerf_tpu.fit.runner import GetResRunner
+
+    GetResRunner(_conf(ws, "1"), case="res1").fitting()
+    sys.argv = [
+        "analys_interaction",
+        "--base_path", os.path.join(ws, "fit_res", "analys_res", "view_4"),
+        "--objects", "bean",
+    ]
+    analys_interaction.main()
+    out = capsys.readouterr().out
+    assert "fit1  int_vol:" in out and "fit12 int_vol:" in out
+    # per-frame caching pickles written (analys_interaction.py:21-42 parity)
+    assert os.path.exists(
+        os.path.join(ws, "fit_res", "analys_res", "view_4", "1",
+                     "person1_bean", "seq0", "int", "0.pickle")
+    )
