@@ -139,16 +139,40 @@ class OfflineRunner:
         self.state = init_train_state(params, self.tcfg)
         self.iter_step = 0
 
+        # VGG perceptual loss on patch batches after 30% of training
+        # (exp_runner.py:228-236); requires pretrained weights — disabled
+        # with a warning when they are unavailable
+        self._vgg_loss_fn = None
+        if self.tcfg.vgg_weight > 0:
+            from honerf_tpu.models.vgg import (
+                load_torchvision_vgg19,
+                make_patch_vgg_loss,
+            )
+
+            vgg_params = load_torchvision_vgg19()
+            if vgg_params is None:
+                logger.warning(
+                    "vgg_weight=%.2f but no pretrained VGG19 weights found "
+                    "(no network egress in this environment) — VGG loss "
+                    "disabled; patch sampling after vgg_start still applies",
+                    self.tcfg.vgg_weight,
+                )
+            else:
+                self._vgg_loss_fn = make_patch_vgg_loss(
+                    jax.tree.map(jnp.asarray, vgg_params)
+                )
         if self.model_type == "obj":
             self._raw_step = make_obj_train_step(
-                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg
+                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg,
+                vgg_loss_fn=self._vgg_loss_fn,
             )
             self._eval_render = jax.jit(
                 make_obj_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
             )
         else:
             self._raw_step = make_hand_train_step(
-                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg
+                self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg,
+                vgg_loss_fn=self._vgg_loss_fn,
             )
             self._eval_render = jax.jit(
                 make_hand_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
@@ -216,9 +240,16 @@ class OfflineRunner:
 
     def _batch_stream(self, vgg_start: float):
         """Infinite shuffled per-view batch generator (patch sampling after
-        vgg_start, exp_runner.py:134-143)."""
+        vgg_start, exp_runner.py:134-143) with the VGG ramp weight
+        (0 before vgg_start, linear to 1 over 10k iters after,
+        exp_runner.py:231-234)."""
+        counter = self.iter_step
         while True:
             for batch_np in self.loader.epoch(patch=self.iter_step > vgg_start):
+                counter += 1
+                if self._vgg_loss_fn is not None:
+                    ramp = min(max(counter - vgg_start, 0.0) / 10000.0, 1.0)
+                    batch_np = dict(batch_np, vgg_ramp=np.float32(ramp))
                 yield batch_np
 
     def train(self) -> None:
