@@ -304,8 +304,11 @@ class OfflineRunner:
         grid = np.asarray(full_image_ndc_grid(self.H, self.W))
         # full-image renders are inference-only: larger chunks amortize
         # dispatch overhead (the reference chunks at batch_size,
-        # exp_runner.py:356; `train.eval_chunk` overrides)
-        chunk = self.conf.get_int("train.eval_chunk", self.tcfg.batch_size)
+        # exp_runner.py:356 — measured 3.4x slower than 4096+ chunks on
+        # TPU v5e; `train.eval_chunk` overrides)
+        chunk = self.conf.get_int(
+            "train.eval_chunk", max(self.tcfg.batch_size, 4096)
+        )
         n = grid.shape[0]
         out = np.zeros((n, 3), np.float32)
         base = {
