@@ -8,7 +8,7 @@ from honerf_tpu.camera.cameras import (
     view_to_world,
     world_to_view,
 )
-from honerf_tpu.camera.rays import RayBundle, rays_to_points, stratified_z_vals, xy_to_ray_bundle
+from honerf_tpu.camera.rays import RayBundle, rays_to_points, xy_to_ray_bundle
 
 __all__ = [
     "Camera",
@@ -21,6 +21,5 @@ __all__ = [
     "view_to_world",
     "world_to_view",
     "rays_to_points",
-    "stratified_z_vals",
     "xy_to_ray_bundle",
 ]

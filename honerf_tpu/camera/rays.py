@@ -44,23 +44,6 @@ def xy_to_ray_bundle(camera: Camera, xy_ndc: jnp.ndarray) -> RayBundle:
     return RayBundle(origins=origins, directions=directions, xys=xy_ndc)
 
 
-def stratified_z_vals(
-    key, n_rays: int, n_samples: int, near: float, far: float, perturb: float
-) -> jnp.ndarray:
-    """Coarse z values: uniform in [near, far] with a per-ray jiggle
-    (reference: utils/renderer.py:204-212 — a single uniform shift of up to
-    +-0.5 sample spacing per ray)."""
-    import jax
-
-    sample_dist = (far - near) / n_samples
-    z = near + (far - near) * jnp.linspace(0.0, 1.0, n_samples)
-    z = jnp.broadcast_to(z[None, :], (n_rays, n_samples))
-    if perturb > 0:
-        t_rand = jax.random.uniform(key, (n_rays, 1)) - 0.5
-        z = z + t_rand * sample_dist
-    return z
-
-
 def rays_to_points(
     rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndarray
 ) -> jnp.ndarray:

@@ -9,8 +9,6 @@ VPU/MXU instead of the host (SURVEY.md §7 step 8).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -81,18 +79,6 @@ def smooth_loss(
     return j + v
 
 
-def nearest_neighbor_dists(
-    query: jnp.ndarray, points: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Brute-force nearest neighbors on device: (Q, 3) vs (P, 3) ->
-    (dists (Q,), idx (Q,)).  Point counts in the stable loss are tiny
-    (object verts ::10, renderer_batch.py:319) so the (Q x P) distance
-    matrix is cheap and beats a host KD-tree round trip."""
-    d2 = jnp.sum((query[:, None, :] - points[None, :, :]) ** 2, axis=-1)
-    idx = jnp.argmin(d2, axis=-1)
-    return jnp.sqrt(jnp.take_along_axis(d2, idx[:, None], axis=1))[:, 0], idx
-
-
 def stable_loss_cross(
     hand_sdf_at_verts: jnp.ndarray,
     verts_local: jnp.ndarray,
@@ -102,15 +88,29 @@ def stable_loss_cross(
     reference `get_stable_loss_cross` (utils/renderer_batch.py:318-371).
 
     For every frame c whose penetration set (hand_sdf < 0) is non-empty:
-      * in_err: other frames' sdf at c's in-points, clipped to >= 0
+      * in_err: contributing frames' sdf at c's in-points, clipped to >= 0
         (those points should stay inside / in contact across frames);
-      * out_err: other frames' negative sdf at the nearest out-points of
-        c's in-points (those should stay outside), weighted by out_weight.
+      * out_err: contributing frames' negative sdf at the nearest "out"
+        candidates of c's in-points, weighted by out_weight.
 
-    The reference normalizes both terms by (in_time - 1) * |in_points_c| and
-    averages over contributing frames; `in_time` is the number of frames
-    with non-empty penetration sets and the loss is 0 when in_time <= 1.
-    Here the data-dependent index sets become soft masks:
+    Parity notes (oracle-verified against the torch implementation):
+      * Only frames with a non-empty penetration set contribute ROWS to
+        both error sums — `hand_sdf_list` is stacked from those frames
+        alone (renderer_batch.py:329-341); non-contact frames are fully
+        excluded, not just excluded from the outer average.
+      * The reference computes
+        `cur_out_id = np.setdiff1d(range(V), bool_mask)`
+        (renderer_batch.py:347): setdiff1d treats the boolean mask as
+        VALUES {0, 1}, so the "out" candidate set is every vert id except
+        0 and 1 (id 0 stays when the frame is fully penetrating, because
+        the mask then holds only value 1).  The nearest "out" candidate of
+        an in-point with id >= 2 is therefore itself, and out_err mostly
+        penalizes |negative sdf| at the in-points across contributing
+        frames (pulling contact points toward sdf ~ 0).  We reproduce this
+        exactly rather than the presumably-intended complement set.
+      * Both terms are normalized by (in_time - 1) * |in_points_c|, the
+        per-frame contributions are summed and divided by in_time, and the
+        loss is 0 when in_time <= 1 (renderer_batch.py:342-369).
 
     Args:
         hand_sdf_at_verts: (F, V) hand SDF at (downsampled) object verts,
@@ -120,35 +120,42 @@ def stable_loss_cross(
     Returns: scalar loss.
     """
     F, V = hand_sdf_at_verts.shape
-    in_mask = (hand_sdf_at_verts < 0).astype(hand_sdf_at_verts.dtype)  # (F, V)
-    frame_has_in = (jnp.sum(in_mask, axis=1) > 0).astype(in_mask.dtype)  # (F,)
+    dt = hand_sdf_at_verts.dtype
+    in_mask = (hand_sdf_at_verts < 0).astype(dt)  # (F, V)
+    frame_has_in = (jnp.sum(in_mask, axis=1) > 0).astype(dt)  # (F,)
     in_time = jnp.sum(frame_has_in)
 
-    # Pairwise vert distances once; for each frame c and each in-point i of
-    # c, the nearest out-point is argmin over j of dist(i, j) masked to
-    # out-points of c.
+    # Row-masked positive/negative parts: only contributing frames' rows
+    # enter the in/out error sums (parity note 1).
+    sdf_pos = jnp.clip(hand_sdf_at_verts, 0.0, 1e7) * frame_has_in[:, None]
+    sdf_neg = (
+        jnp.abs(jnp.clip(hand_sdf_at_verts, -1e7, 0.0)) * frame_has_in[:, None]
+    )
+
+    # Pairwise vert distances once; nearest "out" candidate per vert is an
+    # argmin over the quirk-restricted candidate set (parity note 2).
     d2 = jnp.sum(
         (verts_local[:, None, :] - verts_local[None, :, :]) ** 2, axis=-1
     )  # (V, V)
+    vid = jnp.arange(V)
 
     def per_frame(c_in_mask):
         # c_in_mask: (V,) 1 for in-points of frame c
         n_in = jnp.sum(c_in_mask)
-        # in_err: sum over other frames & c's in-points of sdf+ (clip >= 0)
-        in_err_all = jnp.sum(
-            jnp.clip(hand_sdf_at_verts, 0.0, 1e7) * c_in_mask[None, :]
-        )
-        # nearest out-point of each in-point: mask distances to out-points
-        big = jnp.float32(1e10)
-        masked_d2 = jnp.where(c_in_mask[None, :] > 0, big, d2)  # (V, V)
-        nearest_out = jnp.argmin(masked_d2, axis=1)  # (V,) per potential in-pt
-        # unique-ify like the reference (np.unique) via a scatter-max mask
-        is_near_out = jnp.zeros((V,)).at[nearest_out].max(c_in_mask)
-        out_err_all = jnp.sum(
-            jnp.abs(jnp.clip(hand_sdf_at_verts, -1e7, 0.0)) * is_near_out[None, :]
-        )
+        in_err = jnp.sum(sdf_pos * c_in_mask[None, :])
+        # setdiff1d-on-bool quirk: candidates are all ids except {0, 1};
+        # id 0 remains a candidate iff the frame is fully penetrating.
+        fully_in = n_in >= V
+        out_ok = (vid != 1) & ((vid != 0) | fully_in)  # (V,)
+        big = jnp.asarray(1e10, d2.dtype)
+        masked_d2 = jnp.where(out_ok[None, :], d2, big)  # (V, V)
+        nearest_out = jnp.argmin(masked_d2, axis=1)  # (V,) global vert ids
+        # unique-ify like the reference (np.unique) via a scatter-max mask,
+        # scattering only from actual in-points.
+        is_near_out = jnp.zeros((V,), dt).at[nearest_out].max(c_in_mask)
+        out_err = jnp.sum(sdf_neg * is_near_out[None, :])
         denom = jnp.maximum(in_time - 1.0, 1.0) * jnp.maximum(n_in, 1.0)
-        return (in_err_all + out_weight * out_err_all) / denom
+        return (in_err + out_weight * out_err) / denom
 
     per = jax.vmap(per_frame)(in_mask)  # (F,)
     total = jnp.sum(per * frame_has_in) / jnp.maximum(in_time, 1.0)

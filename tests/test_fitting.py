@@ -193,3 +193,65 @@ def test_stable_loss_zero_when_single_frame_in_contact():
     assert float(stable_loss_cross(sdf, verts)) == 0.0
     sdf = sdf.at[2, 3:8].set(-0.02)  # two frames penetrate -> non-zero
     assert float(stable_loss_cross(sdf, verts)) > 0.0
+
+
+REFERENCE = "/root/reference"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFERENCE),
+                    reason="reference repo not mounted")
+def test_stable_loss_cross_golden_vs_torch():
+    """Oracle parity for the cross-frame stable loss, on a case where some
+    frames have NO contact — pins the contributing-frames row restriction
+    and the setdiff1d-on-boolean out-candidate quirk
+    (reference utils/renderer_batch.py:318-371)."""
+    import sys
+    import types
+
+    import torch
+
+    if "mcubes" not in sys.modules:
+        sys.modules["mcubes"] = types.ModuleType("mcubes")
+    sys.path.insert(0, REFERENCE)
+    try:
+        from utils.renderer_batch import NeuSRenderer_fitting as RefBatch
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(3)
+    F, N = 5, 370
+    base = (rng.normal(size=(1, N, 3)) * 0.08).astype(np.float32)
+    pts_np = np.repeat(base, F, axis=0)  # object-local verts, frame-invariant
+
+    Ro = np.zeros((F, 3, 3), dtype=np.float32)
+    for f in range(F):
+        a = 0.1 * f
+        Ro[f] = [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                 [0, 0, 1]]
+    To = np.zeros((F, 3), dtype=np.float32)
+    To[1, 1] = 0.5  # lift frames 1 and 4 out of contact entirely
+    To[4, 1] = 0.5
+
+    def sdf_np(pw):
+        return (np.sin(25.0 * pw[..., 0]) * 0.04 + pw[..., 1] * 0.3
+                + 0.02).astype(np.float32)
+
+    class FakeHandSDF:
+        def sdf(self, pts_world, bt_inv, T_pose_21):
+            return torch.as_tensor(sdf_np(pts_world.detach().cpu().numpy()))
+
+    fake = types.SimpleNamespace(sdf_network_hand=FakeHandSDF())
+    ref_val = float(RefBatch.get_stable_loss_cross(
+        fake, torch.as_tensor(pts_np), None, None,
+        torch.as_tensor(Ro), torch.as_tensor(To)))
+
+    pts_ds = pts_np[:, ::10]
+    world = np.einsum("fij,fvj->fvi", Ro, pts_ds) + To[:, None]
+    sdf_v = sdf_np(world)
+    in_counts = (sdf_v < 0).sum(1)
+    assert (in_counts > 0).sum() >= 2 and (in_counts == 0).sum() >= 1, (
+        "fixture must mix contact and no-contact frames")
+
+    ours = float(stable_loss_cross(jnp.asarray(sdf_v), jnp.asarray(pts_ds[0])))
+    assert ref_val > 0.0
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
