@@ -136,7 +136,35 @@ class _FitBase:
             "Ro_pred": jnp.asarray(frame.obj_pose_pred[:3, :3]),
             "To_pred": jnp.asarray(frame.obj_pose_pred[:3, 3]),
             "obj_verts": jnp.asarray(seq.obj_verts),
+            # GT carried for the per-step convergence diagnostics
+            # (fitting_single.py:258-265); NOT part of any loss.
+            "gt_joint3d": jnp.asarray(frame.joints_gt),
+            "Ro_gt": jnp.asarray(frame.Ro_gt),
+            "To_gt": jnp.asarray(frame.To_gt),
         }
+
+    def _log_fit_steps(self, labels, chunks) -> None:
+        """Per-step fit diagnostics, mirroring the reference's every-step
+        print (fitting_single.py:262-265, fitting_video.py:327-331).
+        `labels` yields one tuple per step, `chunks` the per-chunk stacked
+        metrics; fetched once per frame, after the device work is queued."""
+        if not self.conf.get_bool("train.verbose_steps", True):
+            return
+        li = 0
+        for metrics in chunks:
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            n = len(next(iter(m.values())))
+            for s in range(n):
+                lab = labels[li]
+                li += 1
+                logger.info(
+                    "%s loss: %.6f, color: %.6f, mask: %.6f, joint: %.6f, "
+                    "obj_verts: %.6f, gt_joint: %.6f, gt_obj_verts: %.6f",
+                    lab, m["loss"][s], m["color_loss"][s], m["mask_loss"][s],
+                    m["joint_loss"][s], m["obj_verts_loss"][s],
+                    m.get("gt_joint_loss", np.full(n, np.nan))[s],
+                    m.get("gt_obj_verts_loss", np.full(n, np.nan))[s],
+                )
 
     def view_batch(self, frame: FitFrame, view_id: int, n_rays: int):
         """Host-side (numpy) per-view ray batch — upload happens once per
@@ -218,6 +246,7 @@ class SingleFitRunner(_FitBase):
                     for it in range(iter_num)
                     for view_id in range(n_views)
                 ]
+                metric_chunks = []
                 for start in range(0, len(schedule), chunk_k):
                     part = schedule[start:start + chunk_k]
                     view_batches = [
@@ -241,6 +270,11 @@ class SingleFitRunner(_FitBase):
                     key, sub = jax.random.split(key)
                     keys = jax.random.split(sub, len(part))
                     state, metrics = multi_step(state, stacked, keys)
+                    metric_chunks.append(metrics)
+                self._log_fit_steps(
+                    [f"iter: {it}, view: {v}," for (it, v) in schedule],
+                    metric_chunks,
+                )
                 logger.info(
                     "frame %d: loss=%.4f joint=%.4f", frame.frame_id,
                     float(metrics["loss"][-1]), float(metrics["joint_loss"][-1]),
@@ -300,6 +334,7 @@ class VideoFitRunner(_FitBase):
         # one dispatch per (window, sub_iters x views) chunk — see the
         # single-frame fitter for the rationale
         multi_step = jax.jit(make_multi_step(step))
+        n_views = len(seq.frames[0].views)
         for epoch in range(n_epochs):
             for idx in sampler:
                 frames = [seq.frames[i] for i in idx]
@@ -307,7 +342,7 @@ class VideoFitRunner(_FitBase):
                 view_batches = [
                     self._window_view_batch(frames, view_id, rays_per_frame)
                     for _sub in range(sub_iters)
-                    for view_id in range(len(frames[0].views))
+                    for view_id in range(n_views)
                 ]
                 k = len(view_batches)
                 stacked = {
@@ -320,9 +355,24 @@ class VideoFitRunner(_FitBase):
                     stacked[name] = jnp.broadcast_to(
                         consts[name][None], (k,) + consts[name].shape
                     )
+                # Reference anchor gating (fitting_video.py:313-318): the
+                # boundary anchor is skipped on the (sub, view) = (0, 0)
+                # step of every window during the first epoch.
+                anchor = np.ones((k,), np.float32)
+                if epoch == 0:
+                    anchor[0] = 0.0
+                stacked["anchor_enabled"] = jnp.asarray(anchor)
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, k)
                 state, metrics = multi_step(state, stacked, keys)
+                self._log_fit_steps(
+                    [
+                        f"iter: {epoch}, index: {int(idx[0])}, view: {v},"
+                        for _sub in range(sub_iters)
+                        for v in range(n_views)
+                    ],
+                    [metrics],
+                )
             logger.info(
                 "epoch %d: loss=%.4f smooth=%.4f", epoch,
                 float(metrics["loss"][-1]), float(metrics["smooth_loss"][-1]),
@@ -351,6 +401,9 @@ class VideoFitRunner(_FitBase):
                 np.stack([f.obj_pose_pred[:3, 3] for f in frames])
             ),
             "obj_verts": jnp.asarray(seq.obj_verts),
+            "gt_joint3d": jnp.asarray(np.stack([f.joints_gt for f in frames])),
+            "Ro_gt": jnp.asarray(np.stack([f.Ro_gt for f in frames])),
+            "To_gt": jnp.asarray(np.stack([f.To_gt for f in frames])),
         }
 
     def _window_view_batch(self, frames: List[FitFrame], view_id: int, n_rays: int):
@@ -414,10 +467,25 @@ class GetResRunner(_FitBase):
         super().__init__(conf_path, case)
         self.render = render
 
-    def _pose_dir_type(self) -> str:
-        # '1'/'12' read their own pose dir; video types read pose_4
-        # (get_res.py:838-842: the final epoch's table)
-        return self.fit_type if self.fit_type in ("1", "12") else "4"
+    def _pose_dir_name(self, base_dir: str) -> str:
+        """'1'/'12' read their own pose dir; video types read the FINAL
+        epoch's table (reference get_res.py:838-842 hardcodes pose_4 =
+        epochs-1 at the default 5 epochs).  Prefer the highest pose_<n>
+        actually on disk so non-default train.epochs works; fall back to
+        train.epochs-1 when nothing is there yet."""
+        if self.fit_type in ("1", "12"):
+            return "pose_" + self.fit_type
+        nums = []
+        if os.path.isdir(base_dir):
+            for name in os.listdir(base_dir):
+                if name.startswith("pose_"):
+                    try:
+                        nums.append(int(name[5:]))
+                    except ValueError:
+                        pass
+        if nums:
+            return f"pose_{max(nums)}"
+        return f"pose_{self.conf.get_int('train.epochs', 5) - 1}"
 
     def fitting(self) -> None:
         for obj_name, frame_name in list_fit_sequences(self.data_root):
@@ -443,10 +511,11 @@ class GetResRunner(_FitBase):
                     }
                     self._process_frame(seq, frame, fitted, save_base, nets)
                 continue
-            pose_dir = os.path.join(
+            fit_base = os.path.join(
                 self.fit_res_root, view_dir, self.fit_type, obj_name,
-                frame_name, "pose_" + self._pose_dir_type(),
+                frame_name,
             )
+            pose_dir = os.path.join(fit_base, self._pose_dir_name(fit_base))
             if not os.path.isdir(pose_dir):
                 logger.warning("no fitted poses at %s", pose_dir)
                 continue

@@ -158,6 +158,12 @@ def make_single_fit_step(
             "joint_loss": joint_loss,
             "obj_verts_loss": verts_loss,
         }
+        # Live GT-vs-pred diagnostics, printed every step by the reference
+        # (fitting_single.py:258-265) — the operator's convergence signal.
+        if "gt_joint3d" in batch:
+            metrics["gt_joint_loss"] = pose_l2(batch["gt_joint3d"], joint_3d[0])
+            gt_v = verts @ batch["Ro_gt"].T + batch["To_gt"]
+            metrics["gt_obj_verts_loss"] = pose_l2(pred_v, gt_v)
         if fcfg.fit_type == "1":
             loss = render_loss + 100.0 * joint_loss + 5.0 * verts_loss
         else:  # '12'

@@ -166,7 +166,13 @@ def make_video_fit_step(
             )
         else:  # degenerate 1-frame window: no adjacent-frame term
             smooth = jnp.asarray(0.0)
-        # boundary anchors (fitting_video.py:313-320)
+        # Boundary anchors (fitting_video.py:313-320).  Reference gating:
+        # `if step > 0 and index[0] == 0: ... elif step > 0 and
+        # index[-1] == last: ...` — the first- and last-frame anchors are
+        # EXCLUSIVE (a window that is both boundary windows only gets the
+        # first anchor), and neither applies on the very first
+        # (sub_iter, view) = (0, 0) step of each window in epoch 0
+        # (anchor_enabled, set by the runner).
         first = (batch["index"][0] == 0).astype(jnp.float32)
         last = (batch["index"][-1] == n_frames - 1).astype(jnp.float32)
         anchor = batch.get("anchor_enabled", jnp.asarray(1.0))
@@ -174,7 +180,7 @@ def make_video_fit_step(
             pose_l2(joint_3d[:1], batch["joints_pred"][:1])
             + pose_l2(pred_v[:1], compare_v[:1])
         )
-        smooth = smooth + anchor * last * (
+        smooth = smooth + anchor * (1.0 - first) * last * (
             pose_l2(joint_3d[-1:], batch["joints_pred"][-1:])
             + pose_l2(pred_v[-1:], compare_v[-1:])
         )
@@ -194,6 +200,15 @@ def make_video_fit_step(
             "penet_loss": p_loss,
             "smooth_loss": smooth,
         }
+        # Live GT-vs-pred diagnostics, printed every step by the reference
+        # (fitting_video.py:327-331) — the operator's convergence signal.
+        if "gt_joint3d" in batch:
+            metrics["gt_joint_loss"] = pose_l2(batch["gt_joint3d"], joint_3d)
+            gt_v = (
+                jnp.einsum("fij,vj->fvi", batch["Ro_gt"], verts)
+                + batch["To_gt"][:, None]
+            )
+            metrics["gt_obj_verts_loss"] = pose_l2(pred_v, gt_v)
         if fcfg.fit_type == "1234":
             verts_ds = verts[::10]
             world_v = jnp.einsum("fij,vj->fvi", obj_r, verts_ds) + obj_t[:, None]

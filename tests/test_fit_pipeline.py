@@ -207,6 +207,15 @@ def test_fit_pipeline_end_to_end(pipeline_ws):
     assert os.path.isdir(os.path.join(vid_dir, "pose_0"))
     assert os.path.isdir(os.path.join(vid_dir, "pose_1"))
 
+    # extraction from VIDEO poses with non-default epochs (2): the pose
+    # dir must resolve to the highest pose_<n> on disk (pose_1), not the
+    # reference's hardcoded pose_4
+    GetResRunner(_conf(ws, "123"), case="res123").fitting()
+    analys123 = os.path.join(ws, "fit_res", "analys_res", "view_4", "123",
+                             "person1_bean", "seq0")
+    inner123 = sorted(os.listdir(os.path.join(analys123, "inner_123")))
+    assert inner123 == ["0.pickle", "1.pickle"]
+
     # extraction: meshes + inner ids from stage-12 poses
     GetResRunner(_conf(ws, "12"), case="res12").fitting()
     analys = os.path.join(ws, "fit_res", "analys_res", "view_4", "12",

@@ -255,3 +255,63 @@ def test_stable_loss_cross_golden_vs_torch():
     ours = float(stable_loss_cross(jnp.asarray(sdf_v), jnp.asarray(pts_ds[0])))
     assert ref_val > 0.0
     np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+
+def test_video_anchor_gating_exclusive_and_first_step_skip():
+    """Reference gating (fitting_video.py:313-320): boundary anchors are
+    exclusive (elif — a window that touches both boundaries only anchors
+    to the first frame) and disabled when anchor_enabled=0 (the very first
+    (sub, view) step of each window in epoch 0)."""
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                        perturb=0.0)
+    fcfg = FitHyper(batch_size=16, fit_type="123")
+
+    def build(n_frames):
+        step, opt = make_video_fit_step(params, hs, hc, os_, oc, rcfg, fcfg,
+                                        n_frames)
+        return jax.jit(step), opt
+
+    F, R = 4, 16
+    single = make_frame(n_rays=R)
+    tables = init_video_tables(6)
+    # identical nonzero refinement on every row: adjacent-frame diffs are
+    # exactly 0, boundary anchors are nonzero
+    tables["palm_trans"] = jnp.full((6, 3), 0.02)
+
+    def smooth_at(n_frames, idx, anchor=None):
+        step, opt = build(n_frames)
+        batch = {
+            "index": jnp.asarray(idx),
+            "joints_pred": jnp.tile(single["joints_pred"][None], (F, 1, 1)),
+            "bone_length": jnp.tile(single["bone_length"][None], (F, 1)),
+            "t_pose_21": jnp.tile(single["t_pose_21"][None], (F, 1, 1)),
+            "Ro_pred": jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
+            "To_pred": jnp.tile(single["To_pred"][None], (F, 1)),
+            "obj_verts": single["obj_verts"],
+            "cam_R": single["cam_R"],
+            "cam_T": single["cam_T"],
+            "focal": single["focal"],
+            "principal": single["principal"],
+            "rays_xy": jnp.tile(single["rays_xy"][None], (F, 1, 1)),
+            "true_rgb": jnp.tile(single["true_rgb"][None], (F, 1, 1)),
+            "true_mask": jnp.ones((F, R, 1)),
+        }
+        if anchor is not None:
+            batch["anchor_enabled"] = jnp.asarray(anchor, jnp.float32)
+        state = (tables, opt.init(tables))
+        _, metrics = step(state, batch, jax.random.PRNGKey(0))
+        return float(metrics["smooth_loss"])
+
+    s_first = smooth_at(6, [0, 1, 2, 3])      # first-boundary window
+    s_mid = smooth_at(6, [1, 2, 3, 4])        # interior window: no anchor
+    s_last = smooth_at(6, [2, 3, 4, 5])       # last-boundary window
+    s_both = smooth_at(4, [0, 1, 2, 3])       # touches BOTH boundaries
+    s_gated = smooth_at(6, [0, 1, 2, 3], anchor=0.0)  # step (0,0) of epoch 0
+
+    assert s_first > 1e-6 and s_last > 1e-6
+    np.testing.assert_allclose(s_mid, 0.0, atol=1e-7)
+    np.testing.assert_allclose(s_gated, 0.0, atol=1e-7)
+    # exclusive: the both-boundary window equals the first-only window,
+    # not first+last
+    np.testing.assert_allclose(s_both, s_first, rtol=1e-5)
