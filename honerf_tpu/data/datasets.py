@@ -80,12 +80,25 @@ def _mask_from_image(img_u8: np.ndarray, thresh: int = 0) -> np.ndarray:
 
 
 def load_offline_dataset(
-    data_root: str, model_type: str, split: str = "train"
+    data_root: str, model_type: str, split: str = "train",
+    data_type: str = "real",
 ) -> SceneData:
     """Load the offline-stage dataset (TrainDataLoad/TestDataLoad parity,
-    utils/dataset.py:116-382)."""
+    utils/dataset.py:116-382).
+
+    `data_type` selects the image naming flavor: the reference's hand
+    loaders enumerate the IMG directory and map image names to PARAM_266
+    pickles — '.png' for syn, '.jpeg' for real (utils/dataset.py:196-202,
+    :336-339).  We map any extension by stem, so both flavors load; when
+    no IMG directory exists the PARAM_266 listing is used directly."""
     param_path = os.path.join(data_root, "PARAM_266")
-    names = sorted(os.listdir(param_path))
+    img_path = os.path.join(data_root, "IMG")
+    if model_type == "hand" and os.path.isdir(img_path):
+        names = sorted(
+            n.split(".")[0] + ".pickle" for n in os.listdir(img_path)
+        )
+    else:
+        names = sorted(os.listdir(param_path))
     views: List[ViewRecord] = []
 
     if model_type == "obj":

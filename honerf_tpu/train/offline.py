@@ -63,7 +63,13 @@ class TrainHyper(NamedTuple):
             igr_weight=float(conf["train.igr_weight"]),
             mask_weight=float(conf["train.mask_weight"]),
             vgg_weight=float(conf.get("train.vgg_weight", 0.0)),
-            refine_pose=bool(conf.get("train.refine_pose", True)),
+            # per-view se3 pose refinement applies to REAL data only: the
+            # reference gates on `data_type == 'real' and refine_pose`
+            # (exp_runner.py:155, :163) — synthetic data has exact poses
+            refine_pose=(
+                bool(conf.get("train.refine_pose", True))
+                and str(conf.get("general.data_type", "real")) == "real"
+            ),
             batch_size=int(conf["train.batch_size"]),
         )
 

@@ -122,10 +122,12 @@ class OfflineRunner:
         init_val = float(self.conf["model.variance_network"]["init_val"])
 
         self.train_scene = load_offline_dataset(
-            self.conf.get_string("dataset.traindata_dir"), self.model_type, "train"
+            self.conf.get_string("dataset.traindata_dir"), self.model_type,
+            "train", self.data_type,
         )
         self.test_scene = load_offline_dataset(
-            self.conf.get_string("dataset.testdata_dir"), self.model_type, "test"
+            self.conf.get_string("dataset.testdata_dir"), self.model_type,
+            "test", self.data_type,
         )
         self.loader = RayBatchLoader(self.train_scene, self.tcfg.batch_size)
 
@@ -391,16 +393,26 @@ class OfflineRunner:
                     )
                     return out[..., 0]
 
-                lo, hi = bounds_from_points(v.joints, 0.15)
+                lo, hi = mesh_bounds(self.model_type, self.data_type, v.joints)
             else:
                 @jax.jit
                 def sdf_fn(pts):
                     return sdf_obj_apply(params["sdf"], self.sdf_cfg, pts)[..., 0]
 
-                lo, hi = np.full(3, -0.2), np.full(3, 0.2)
+                lo, hi = mesh_bounds(self.model_type, self.data_type, v.joints)
             verts, tris = extract_geometry(sdf_fn, lo, hi, resolution, threshold)
             save_ply(os.path.join(mesh_dir, f"{i:08d}.ply"), verts * 1000.0, tris)
             logger.info("mesh %d: %d verts", i, len(verts))
+
+
+def mesh_bounds(model_type: str, data_type: str, pts: np.ndarray):
+    """Marching-cube grid bounds (exp_runner.py:493-517): hand and obj-syn
+    use the carried points +-0.15 (the obj test item carries zeros(21,3),
+    so obj-syn is a +-0.15 origin box); obj-real uses the fixed r=0.2
+    origin box."""
+    if model_type == "hand" or data_type == "syn":
+        return bounds_from_points(pts, 0.15)
+    return np.full(3, -0.2), np.full(3, 0.2)
 
 
 def _write_image(path: str, img_u8: np.ndarray) -> None:
