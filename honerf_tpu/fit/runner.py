@@ -539,7 +539,10 @@ class GetResRunner(_FitBase):
         @jax.jit
         def hand_sdf(pts):
             out, _, _, _ = sdf_hand_apply(
-                hand_params["sdf"], self.hand_sdf_cfg, pts, bt_inv, t_pose
+                hand_params["sdf"],
+                # fwd-only grid eval: bone-major build fuses into the matmul
+                self.hand_sdf_cfg._replace(flat_embedding=False),
+                pts, bt_inv, t_pose,
             )
             return out[..., 0]
 

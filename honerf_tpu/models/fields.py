@@ -25,14 +25,18 @@ eikonal term's higher-order grads flow through it under jax.grad.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from honerf_tpu.models.embedding import (
+    channel_major_dest,
     hand_embedding,
+    hand_embedding_flat,
     hand_embedding_width,
     positional_encoding,
 )
@@ -64,6 +68,11 @@ class SDFConfig(NamedTuple):
     geometric_init: bool = True
     weight_norm: bool = True
     inside_outside: bool = False
+    # TPU fast path: build the hand embedding channel-major and gather
+    # weight columns at apply time (stored params stay bone-major; see
+    # embedding.hand_embedding_flat).  Numerics differ only by matmul
+    # summation order.
+    flat_embedding: bool = True
 
     @property
     def input_width(self) -> int:
@@ -95,6 +104,7 @@ class ColorConfig(NamedTuple):
     grad_multires: int = 4
     squeeze_out: bool = True
     use_gradients: bool = True
+    flat_embedding: bool = True  # must match the SDF net's flag
 
     @property
     def input_width(self) -> int:
@@ -227,6 +237,28 @@ def sdf_obj_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarr
     return jnp.concatenate([out[..., :1] / cfg.scale, out[..., 1:]], axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _cm_index(v_multires: int, r_multires: int, prefix: int, tail: int):
+    """Input-column gather index mapping bone-major stored weights onto the
+    channel-major flat embedding: cols [prefix, prefix+W) are permuted by
+    channel_major_dest; `prefix` leading and `tail` trailing cols pass
+    through."""
+    dest = channel_major_dest(v_multires, r_multires)
+    w = len(dest)
+    return np.concatenate([
+        np.arange(prefix), prefix + dest, np.arange(prefix + w, prefix + w + tail)
+    ])
+
+
+def _gather_cols(layer: Params, idx: np.ndarray) -> Params:
+    """w'[:, i] = w[:, idx[i]].  Column permutation commutes with weight
+    norm's per-output-row normalization, so 'v' is gathered directly."""
+    out = dict(layer)
+    key = "v" if "v" in layer else "w"
+    out[key] = layer[key][:, idx]
+    return out
+
+
 def sdf_hand_apply(
     params: Params,
     cfg: SDFConfig,
@@ -237,12 +269,31 @@ def sdf_hand_apply(
     """Hand SDF forward.
 
     Returns (out257, xyz_feature, r, h) like the reference forward
-    (utils/fields.py:132-156)."""
-    xyz_feature, r, h = hand_embedding(
-        pts, bt_inv, t_pose_21, cfg.v_multires, cfg.r_multires
-    )
+    (utils/fields.py:132-156).  With cfg.flat_embedding the returned
+    xyz_feature is in channel-major order (embedding.channel_major_dest);
+    stored weights stay bone-major and are gathered here."""
+    if cfg.flat_embedding:
+        xyz_feature, r, h = hand_embedding_flat(
+            pts, bt_inv, t_pose_21, cfg.v_multires, cfg.r_multires
+        )
+        w = cfg.input_width
+        layers = list(params["layers"])
+        layers[0] = _gather_cols(
+            layers[0], _cm_index(cfg.v_multires, cfg.r_multires, 0, 0)
+        )
+        for s in cfg.skip_in:
+            # widen_input skip: input = concat([x(d_hidden), embedding(W)])
+            layers[s] = _gather_cols(
+                layers[s],
+                _cm_index(cfg.v_multires, cfg.r_multires, cfg.d_hidden, 0),
+            )
+    else:
+        xyz_feature, r, h = hand_embedding(
+            pts, bt_inv, t_pose_21, cfg.v_multires, cfg.r_multires
+        )
+        layers = params["layers"]
     out = _mlp_trunk(
-        params["layers"], xyz_feature, cfg.skip_in, len(cfg.dims), softplus_beta
+        layers, xyz_feature, cfg.skip_in, len(cfg.dims), softplus_beta
     )
     return out, xyz_feature, r, h
 
@@ -263,7 +314,17 @@ def color_hand_apply(
             [gradients, positional_encoding(gradients, cfg.grad_multires)], axis=-1
         )
         x = jnp.concatenate([x, grad_emb], axis=-1)
-    out = _mlp_trunk(params["layers"], x, (), len(cfg.dims), jax.nn.relu)
+    layers = params["layers"]
+    if cfg.flat_embedding:
+        # xyz_feature arrives channel-major from sdf_hand_apply; gather the
+        # first-layer columns of its slice to match (rest pass through)
+        w = hand_embedding_width(cfg.v_multires, cfg.r_multires)
+        layers = list(layers)
+        layers[0] = _gather_cols(
+            layers[0],
+            _cm_index(cfg.v_multires, cfg.r_multires, 0, cfg.input_width - w),
+        )
+    out = _mlp_trunk(layers, x, (), len(cfg.dims), jax.nn.relu)
     return jax.nn.sigmoid(out) if cfg.squeeze_out else out
 
 

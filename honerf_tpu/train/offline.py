@@ -132,6 +132,7 @@ def offline_losses(
     eik = out["gradient_error"]
     loss = color_loss + m_loss * tcfg.mask_weight + eik * tcfg.igr_weight
     psnr = masked_psnr(out["color_fine"], batch["true_rgb"], true_mask)
+    mask_sum = jnp.sum(true_mask) + 1e-5
     metrics = {
         "loss": loss,
         "color_loss": color_loss,
@@ -139,6 +140,10 @@ def offline_losses(
         "eikonal_loss": eik,
         "psnr": psnr,
         "s_val": jnp.mean(out["s_val"]),
+        # Statistics/{cdf, weight_max}: masked means of the first-sample
+        # CDF and the max compositing weight (exp_runner.py:248-250)
+        "cdf": jnp.sum(out["cdf_fine"][:, :1] * true_mask) / mask_sum,
+        "weight_max": jnp.sum(out["weight_max"] * true_mask) / mask_sum,
     }
     return loss, metrics
 

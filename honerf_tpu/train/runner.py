@@ -389,7 +389,9 @@ class OfflineRunner:
                 @jax.jit
                 def sdf_fn(pts, bt_inv=bt_inv, t_pose=t_pose):
                     out, _, _, _ = sdf_hand_apply(
-                        params["sdf"], self.sdf_cfg, pts, bt_inv, t_pose
+                        # fwd-only grid eval: bone-major fuses into matmul
+                        params["sdf"], self.sdf_cfg._replace(flat_embedding=False),
+                        pts, bt_inv, t_pose,
                     )
                     return out[..., 0]
 

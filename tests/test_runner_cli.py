@@ -2,6 +2,7 @@
 train a few iters -> checkpoint -> resume -> test render -> mesh extract
 (the exp_runner.py workflow parity, SURVEY.md §3.1-3.2)."""
 
+import json
 import os
 import textwrap
 
@@ -98,9 +99,15 @@ def test_runner_train_checkpoint_resume(workspace):
     ckpt_dir = os.path.join(str(ws / "exp"), "checkpoints")
     ckpts = sorted(os.listdir(ckpt_dir))
     assert ckpts == ["ckpt_000006.npz", "ckpt_000012.npz"]
-    # metrics stream written
+    # metrics stream written, with the full TB statistics subset
+    # (exp_runner.py:244-251 incl. Statistics/{cdf, weight_max})
     metrics = os.path.join(str(ws / "exp"), "logs", "metrics.jsonl")
-    assert sum(1 for _ in open(metrics)) >= 12
+    lines = [json.loads(l) for l in open(metrics)]
+    assert len(lines) >= 12
+    for k in ["loss", "color_loss", "mask_loss", "eikonal_loss", "psnr",
+              "s_val", "cdf", "weight_max"]:
+        assert k in lines[0], k
+        assert np.isfinite(lines[0][k])
     # source snapshot exists
     assert os.path.exists(os.path.join(str(ws / "exp"), "recording", "config.conf"))
 
