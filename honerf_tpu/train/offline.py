@@ -50,6 +50,11 @@ class TrainHyper(NamedTuple):
     vgg_weight: float = 1.0
     refine_pose: bool = True
     batch_size: int = 441
+    # Render the ray axis in lax.map chunks of this size when batch_size
+    # exceeds it (0 = off).  Workaround for a tunneled-backend miscompile
+    # at ray counts >~1.7k (see BENCH_NOTES.md "Known issues"): the
+    # chunked program reuses the known-good small-batch shape.
+    ray_chunk: int = 0
 
     @classmethod
     def from_conf(cls, conf) -> "TrainHyper":
@@ -71,6 +76,7 @@ class TrainHyper(NamedTuple):
                 and str(conf.get("general.data_type", "real")) == "real"
             ),
             batch_size=int(conf["train.batch_size"]),
+            ray_chunk=int(conf.get("train.ray_chunk", 0)),
         )
 
 
@@ -99,6 +105,47 @@ def refined_obj_pose(
     return d_rot @ Ro, To + ref[6:9] * 0.1
 
 
+def _render_rays_chunked(field, rcfg, tcfg, key, o, d) -> Dict[str, jnp.ndarray]:
+    """render_single over the ray axis, optionally in lax.map chunks of
+    tcfg.ray_chunk rays.
+
+    The chunked path exists as a WORKAROUND for a tunneled-TPU backend
+    miscompile: the full composite render+grad program produces NaN/Inf at
+    ray counts above ~1.7k on this container's libtpu (forward-only and
+    every subprogram are finite in isolation at the same shapes, CPU is
+    finite, and the failure is seed/key-independent — see BENCH_NOTES.md).
+    Chunking makes the compiled body identical to the known-good
+    small-batch program.  Scalar outputs (gradient_error) are averaged
+    over equal-size chunks, which equals the unchunked mean."""
+    n = o.shape[0]
+    chunk = tcfg.ray_chunk
+    if not chunk or n <= chunk or n % chunk != 0:
+        return render_single(
+            field, rcfg, key, o, d, tcfg.near, tcfg.far,
+            cumprod_seed="prev_cdf",
+        )
+    k = n // chunk
+    keys = jax.random.split(key, k)
+
+    def body(args):
+        kk, oo, dd = args
+        return render_single(
+            field, rcfg, kk, oo, dd, tcfg.near, tcfg.far,
+            cumprod_seed="prev_cdf",
+        )
+
+    outs = jax.lax.map(
+        body, (keys, o.reshape(k, chunk, 3), d.reshape(k, chunk, 3))
+    )
+    merged = {}
+    for name, v in outs.items():
+        if v.ndim >= 2 and v.shape[1] == chunk:
+            merged[name] = v.reshape(n, *v.shape[2:])
+        else:  # per-chunk scalars (gradient_error)
+            merged[name] = jnp.mean(v, axis=0)
+    return merged
+
+
 def obj_render_from_batch(
     params: Params,
     sdf_cfg: SDFConfig,
@@ -117,9 +164,7 @@ def obj_render_from_batch(
     Ro, To = refined_obj_pose(params, tcfg, batch["Ro"], batch["To"], batch["index"])
     o, d = rays_to_object_frame(rb.origins, rb.directions, Ro, To)
     field = make_obj_field(params, sdf_cfg, color_cfg)
-    return render_single(
-        field, rcfg, key, o, d, tcfg.near, tcfg.far, cumprod_seed="prev_cdf"
-    )
+    return _render_rays_chunked(field, rcfg, tcfg, key, o, d)
 
 
 def offline_losses(
@@ -230,9 +275,8 @@ def hand_render_from_batch(
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"]
     )
-    return render_single(
-        field, rcfg, key, rb.origins, rb.directions, tcfg.near, tcfg.far,
-        cumprod_seed="prev_cdf",
+    return _render_rays_chunked(
+        field, rcfg, tcfg, key, rb.origins, rb.directions
     )
 
 

@@ -167,3 +167,51 @@ def test_torch_checkpoint_converter(tmp_path):
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert float(out["variance"]["variance"]) == pytest.approx(0.3)
+
+
+def test_ray_chunked_render_matches_unchunked():
+    """train.ray_chunk (the tunneled-backend miscompile workaround, see
+    BENCH_NOTES.md) must be numerically equivalent at perturb=0 up to
+    reassociation."""
+    from honerf_tpu.models import (
+        ColorConfig, SDFConfig, init_color_params, init_sdf_params,
+        init_se3_refine, init_variance_params,
+    )
+    from honerf_tpu.render import RenderConfig
+    from honerf_tpu.train import TrainHyper
+    from honerf_tpu.train.offline import obj_render_from_batch
+    from honerf_tpu.data.synthetic import look_at_camera
+
+    sdf_cfg = SDFConfig(kind="obj", n_layers=3, d_hidden=64, d_out=65,
+                        skip_in=(2,), v_multires=6)
+    color_cfg = ColorConfig(kind="obj", d_feature=64, n_layers=2,
+                            d_hidden=64, v_multires=6)
+    params = {
+        "sdf": init_sdf_params(jax.random.PRNGKey(0), sdf_cfg),
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+        "se3_refine": init_se3_refine(64, "obj"),
+    }
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                        perturb=0.0)
+    rng = np.random.default_rng(0)
+    n = 64
+    R, T = look_at_camera(np.asarray([0.0, 0.2, -0.9]), np.zeros(3))
+    batch = {
+        "rays_xy": jnp.asarray(rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)),
+        "true_rgb": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        "true_mask": jnp.ones((n, 1), jnp.float32),
+        "cam_R": jnp.asarray(R), "cam_T": jnp.asarray(T),
+        "focal": jnp.asarray([3.0, 3.0], dtype=jnp.float32),
+        "principal": jnp.zeros(2, dtype=jnp.float32),
+        "Ro": jnp.eye(3), "To": jnp.zeros(3),
+        "index": jnp.asarray(0, jnp.int32),
+    }
+    key = jax.random.PRNGKey(3)
+    a = obj_render_from_batch(params, sdf_cfg, color_cfg, rcfg,
+                              TrainHyper(batch_size=n, ray_chunk=0), batch, key)
+    b = obj_render_from_batch(params, sdf_cfg, color_cfg, rcfg,
+                              TrainHyper(batch_size=n, ray_chunk=16), batch, key)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-4, atol=5e-5, err_msg=k)
