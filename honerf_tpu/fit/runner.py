@@ -44,7 +44,6 @@ from honerf_tpu.models import (
     color_config_from_conf,
     sdf_config_from_conf,
     sdf_hand_apply,
-    sdf_obj_apply,
 )
 from honerf_tpu.render import RenderConfig
 from honerf_tpu.render.dual import render_dual
@@ -546,10 +545,13 @@ class GetResRunner(_FitBase):
             )
             return out[..., 0]
 
-        @jax.jit
+        from honerf_tpu.ops.fused_sdf import best_obj_sdf_fn
+
+        obj_sdf_local = best_obj_sdf_fn(obj_params["sdf"], self.obj_sdf_cfg)
+
         def obj_sdf_world(pts):
             local = (pts - jnp.asarray(obj_t)) @ jnp.asarray(obj_r)
-            return sdf_obj_apply(obj_params["sdf"], self.obj_sdf_cfg, local)[..., 0]
+            return obj_sdf_local(local)
 
         cur_obj_verts = seq.obj_verts @ obj_r.T + obj_t
         if self.render:

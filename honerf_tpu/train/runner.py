@@ -373,7 +373,7 @@ class OfflineRunner:
     def validate_mesh(self, resolution: int = 64, threshold: float = 0.0) -> None:
         """Mesh extraction for each test view's pose
         (exp_runner.py:462-536)."""
-        from honerf_tpu.models import sdf_hand_apply, sdf_obj_apply
+        from honerf_tpu.models import sdf_hand_apply
         from honerf_tpu.hand import bone_transforms_from_mano_joints
 
         mesh_dir = os.path.join(self.base_exp_dir, "meshes")
@@ -397,10 +397,9 @@ class OfflineRunner:
 
                 lo, hi = mesh_bounds(self.model_type, self.data_type, v.joints)
             else:
-                @jax.jit
-                def sdf_fn(pts):
-                    return sdf_obj_apply(params["sdf"], self.sdf_cfg, pts)[..., 0]
+                from honerf_tpu.ops.fused_sdf import best_obj_sdf_fn
 
+                sdf_fn = best_obj_sdf_fn(params["sdf"], self.sdf_cfg)
                 lo, hi = mesh_bounds(self.model_type, self.data_type, v.joints)
             verts, tris = extract_geometry(sdf_fn, lo, hi, resolution, threshold)
             save_ply(os.path.join(mesh_dir, f"{i:08d}.ply"), verts * 1000.0, tris)
