@@ -18,3 +18,11 @@ __all__ = [
 from honerf_tpu.parallel.shard_step import make_obj_train_step_shardmap
 
 __all__.append("make_obj_train_step_shardmap")
+
+from honerf_tpu.parallel.video_shard import (
+    FRAME_AXIS,
+    frame_batch_specs,
+    make_video_fit_step_sharded,
+)
+
+__all__ += ["FRAME_AXIS", "frame_batch_specs", "make_video_fit_step_sharded"]
