@@ -44,6 +44,7 @@ from honerf_tpu.models.mlp import (
     apply_linear,
     geometric_init_weights,
     init_linear,
+    linear_weight,
     softplus_beta,
 )
 
@@ -73,6 +74,8 @@ class SDFConfig(NamedTuple):
     # embedding.hand_embedding_flat).  Numerics differ only by matmul
     # summation order.
     flat_embedding: bool = True
+    # 'bf16' = fast mode: bfloat16 trunk activations (see _mlp_trunk)
+    trunk_dtype: str = "f32"
 
     @property
     def input_width(self) -> int:
@@ -105,6 +108,7 @@ class ColorConfig(NamedTuple):
     squeeze_out: bool = True
     use_gradients: bool = True
     flat_embedding: bool = True  # must match the SDF net's flag
+    trunk_dtype: str = "f32"
 
     @property
     def input_width(self) -> int:
@@ -142,6 +146,7 @@ def sdf_config_from_conf(kind: str, conf: Dict[str, Any]) -> SDFConfig:
         geometric_init=bool(conf.get("geometric_init", True)),
         weight_norm=bool(conf.get("weight_norm", True)),
         inside_outside=bool(conf.get("inside_outside", False)),
+        trunk_dtype=str(conf.get("trunk_dtype", "f32")),
     )
 
 
@@ -159,6 +164,7 @@ def color_config_from_conf(kind: str, conf: Dict[str, Any]) -> ColorConfig:
         grad_multires=int(conf.get("grad_multires", 4)),
         squeeze_out=bool(conf.get("squeeze_out", True)),
         use_gradients=bool(conf.get("use_gradients", True)),
+        trunk_dtype=str(conf.get("trunk_dtype", "f32")),
     )
 
 
@@ -216,23 +222,39 @@ def init_se3_refine(n_frames: int, kind: str) -> jnp.ndarray:
 
 def _mlp_trunk(
     layers, x: jnp.ndarray, skip_in: Tuple[int, ...], n_layers_total: int,
-    activation,
+    activation, dtype: str = "f32",
 ) -> jnp.ndarray:
-    inputs = x
+    """dtype='bf16' runs the trunk with bfloat16 activations and weights
+    (f32 matmul accumulation, f32 output) — the optional fast mode: the
+    TPU already executes f32 matmuls as bf16 passes, so this only halves
+    the HBM traffic of activations and backward residuals, not matmul
+    precision.  Default f32 preserves golden parity."""
+    cast = jnp.bfloat16 if dtype == "bf16" else None
+    inputs = x if cast is None else x.astype(cast)
+    x = inputs
     for l in range(n_layers_total - 1):
         if l in skip_in:
             x = jnp.concatenate([x, inputs], axis=-1) / SQRT2
-        x = apply_linear(layers[l], x)
+        if cast is None:
+            x = apply_linear(layers[l], x)
+        else:
+            w = linear_weight(layers[l]).astype(cast)
+            x = jax.lax.dot_general(
+                x, w.T, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + layers[l]["b"]
+            x = x if l == n_layers_total - 2 else x.astype(cast)
         if l < n_layers_total - 2:
             x = activation(x)
-    return x
+    return x.astype(jnp.float32)
 
 
 def sdf_obj_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
     """Object SDF forward: (..., 3) -> (..., 257) [sdf/scale, features]."""
     emb = jnp.concatenate([pts, positional_encoding(pts, cfg.v_multires)], axis=-1)
     out = _mlp_trunk(
-        params["layers"], emb, cfg.skip_in, len(cfg.dims), softplus_beta
+        params["layers"], emb, cfg.skip_in, len(cfg.dims), softplus_beta,
+        cfg.trunk_dtype,
     )
     return jnp.concatenate([out[..., :1] / cfg.scale, out[..., 1:]], axis=-1)
 
@@ -293,7 +315,8 @@ def sdf_hand_apply(
         )
         layers = params["layers"]
     out = _mlp_trunk(
-        layers, xyz_feature, cfg.skip_in, len(cfg.dims), softplus_beta
+        layers, xyz_feature, cfg.skip_in, len(cfg.dims), softplus_beta,
+        cfg.trunk_dtype,
     )
     return out, xyz_feature, r, h
 
@@ -324,7 +347,8 @@ def color_hand_apply(
             layers[0],
             _cm_index(cfg.v_multires, cfg.r_multires, 0, cfg.input_width - w),
         )
-    out = _mlp_trunk(layers, x, (), len(cfg.dims), jax.nn.relu)
+    out = _mlp_trunk(layers, x, (), len(cfg.dims), jax.nn.relu,
+                     cfg.trunk_dtype)
     return jax.nn.sigmoid(out) if cfg.squeeze_out else out
 
 
@@ -343,7 +367,8 @@ def color_obj_apply(
         [gradients, positional_encoding(gradients, cfg.grad_multires)], -1
     )
     x = jnp.concatenate([point_emb, dir_emb, feature_vector, grad_emb], axis=-1)
-    out = _mlp_trunk(params["layers"], x, (), len(cfg.dims), jax.nn.relu)
+    out = _mlp_trunk(params["layers"], x, (), len(cfg.dims), jax.nn.relu,
+                     cfg.trunk_dtype)
     return jax.nn.sigmoid(out) if cfg.squeeze_out else out
 
 
