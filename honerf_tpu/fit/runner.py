@@ -62,6 +62,16 @@ from honerf_tpu.utils.ply import save_ply
 
 logger = logging.getLogger(__name__)
 
+# Per-(window, view) batch keys seen by the video fit step — the union of
+# `_window_view_batch`, `_window_consts`, and the runner's anchor flag.
+# Used as the sharding-spec template for the frame-sharded step.
+_WINDOW_BATCH_KEYS = (
+    "rays_xy", "true_rgb", "true_mask", "cam_R", "cam_T", "focal",
+    "principal", "index", "joints_pred", "bone_length", "t_pose_21",
+    "Ro_pred", "To_pred", "obj_verts", "gt_joint3d", "Ro_gt", "To_gt",
+    "anchor_enabled",
+)
+
 
 def load_model_params(model_dir: str) -> Dict[str, Any]:
     """Load the latest offline checkpoint under <model_dir>/checkpoints —
@@ -149,9 +159,10 @@ class _FitBase:
         metrics; fetched once per frame, after the device work is queued."""
         if not self.conf.get_bool("train.verbose_steps", True):
             return
+        from honerf_tpu.utils.profiling import packed_fetch
+
         li = 0
-        for metrics in chunks:
-            m = {k: np.asarray(v) for k, v in metrics.items()}
+        for m in packed_fetch(chunks):  # ONE device->host round trip
             n = len(next(iter(m.values())))
             for s in range(n):
                 lab = labels[li]
@@ -286,6 +297,30 @@ class SingleFitRunner(_FitBase):
 class VideoFitRunner(_FitBase):
     """fitting_video.py equivalent (fit types '123' and '1234')."""
 
+    def _frame_shard_mesh(self, window: int):
+        """`train.frame_shard = true` shards the 4-frame window's frame
+        axis over a device mesh (parallel/video_shard.py: ppermute smooth
+        halo, masked-psum anchors, all_gather'ed stable loss — SURVEY.md
+        §5).  The shard count is the largest common divisor of the window
+        size and the device count; falls back to the single-device vmapped
+        step when that is 1."""
+        if not self.conf.get_bool("train.frame_shard", False):
+            return None
+        import math
+
+        n_dev = len(jax.devices())
+        n_shard = math.gcd(window, n_dev)
+        if n_shard < 2:
+            logger.warning(
+                "train.frame_shard requested but %d device(s) share no "
+                "divisor with the %d-frame window — using the "
+                "single-device step", n_dev, window,
+            )
+            return None
+        from honerf_tpu.parallel import make_mesh
+
+        return make_mesh(n_shard, axis_name="frame")
+
     def fitting(self) -> None:
         fit_id = self.conf.get_int("general.fit_id", 0)
         manifest_path = self.conf.get_string(
@@ -309,11 +344,32 @@ class VideoFitRunner(_FitBase):
         )
         n_frames = len(seq)
         nets = self.nets_for(seq)
-        step, opt = make_video_fit_step(
-            nets, self.hand_sdf_cfg, self.hand_color_cfg,
-            self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg, n_frames,
+        window = 4
+        shard_mesh = (
+            self._frame_shard_mesh(window) if n_frames >= window else None
         )
-        step = jax.jit(step)
+        if shard_mesh is not None:
+            from honerf_tpu.parallel.video_shard import (
+                make_video_fit_step_sharded,
+            )
+
+            step, opt = make_video_fit_step_sharded(
+                nets, self.hand_sdf_cfg, self.hand_color_cfg,
+                self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+                n_frames, shard_mesh,
+                {k: None for k in _WINDOW_BATCH_KEYS},
+            )
+            logger.info(
+                "video fitting: window frame axis sharded over %d devices",
+                shard_mesh.devices.size,
+            )
+        else:
+            step, opt = make_video_fit_step(
+                nets, self.hand_sdf_cfg, self.hand_color_cfg,
+                self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+                n_frames,
+            )
+            step = jax.jit(step)
         tables = init_video_tables(n_frames)
         state = (tables, opt.init(tables))
         save_base = os.path.join(
@@ -323,7 +379,6 @@ class VideoFitRunner(_FitBase):
         key = jax.random.PRNGKey(0)
         n_epochs = self.conf.get_int("train.epochs", 5)
         sub_iters = self.conf.get_int("train.sub_iters", 4)
-        window = 4
         rays_per_frame = self.conf.get_int("train.rays_per_frame", 40)
         from honerf_tpu.data import FrameWindowSampler
 

@@ -222,6 +222,20 @@ def make_video_fit_step_sharded(
             "penet_loss": p_loss,
             "smooth_loss": smooth,
         }
+        # live GT-vs-pred diagnostics (fitting_video.py:327-331), global
+        # means over the sharded frame axis — matches the vmapped step's
+        # pose_l2 values
+        if "gt_joint3d" in batch:
+            metrics["gt_joint_loss"] = jax.lax.psum(
+                _norm_sum(batch["gt_joint3d"], joint_3d), FRAME_AXIS
+            ) / (F_g * 21.0)
+            gt_v = (
+                jnp.einsum("fij,vj->fvi", batch["Ro_gt"], verts)
+                + batch["To_gt"][:, None]
+            )
+            metrics["gt_obj_verts_loss"] = jax.lax.psum(
+                _norm_sum(pred_v, gt_v), FRAME_AXIS
+            ) / (F_g * float(V))
 
         if fcfg.fit_type == "1234":
             # cross-frame stability: gather the tiny (F, V') hand-SDF

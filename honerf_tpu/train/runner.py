@@ -61,9 +61,12 @@ class MetricsLogger:
     Deferred: device scalars are buffered and materialized every
     `flush_every` steps — fetching a value per step would sync the
     tunneled TPU every iteration (a ~38 ms round trip that was dominating
-    the training loop at 2.8 steps/s)."""
+    the training loop at 2.8 steps/s).  The flush itself packs every
+    buffered array into ONE transfer (utils.profiling.packed_fetch):
+    per-array fetches were costing ~15 ms/step at flush_every=20
+    (scripts/diag_e2e_overhead.py, runs B vs D)."""
 
-    def __init__(self, path: str, flush_every: int = 20):
+    def __init__(self, path: str, flush_every: int = 100):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         self._f = open(path, "a")
         self._buf: list = []
@@ -84,13 +87,15 @@ class MetricsLogger:
             self.flush()
 
     def flush(self) -> None:
-        for step, k, t, scalars in self._buf:
-            host = {name: np.asarray(v) for name, v in scalars.items()}
+        from honerf_tpu.utils.profiling import packed_fetch
+
+        fetched = packed_fetch([b[3] for b in self._buf])
+        for (step, k, t, _), host in zip(self._buf, fetched):
             for i in range(k):
                 rec = {"step": step + i, "time": t}
                 rec.update(
                     {
-                        name: float(v[i] if v.ndim else v)
+                        name: float(v[i] if v.shape[0] > 1 else v[0])
                         for name, v in host.items()
                     }
                 )
@@ -180,6 +185,11 @@ class OfflineRunner:
                 make_hand_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
             )
         self._step = jax.jit(self._raw_step)
+        # built once: re-wrapping per train() call would re-trace the whole
+        # K-step scan (~20 s for the full-size program) on every resume
+        from honerf_tpu.train.offline import make_multi_step
+
+        self._multi_step = jax.jit(make_multi_step(self._raw_step))
         self.key = jax.random.PRNGKey(42)
 
         if is_continue:
@@ -265,9 +275,7 @@ class OfflineRunner:
         chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 8))
         vgg_start = t.end_iter * 0.3
         stream = self._batch_stream(vgg_start)
-        from honerf_tpu.train.offline import make_multi_step
-
-        multi_step = jax.jit(make_multi_step(self._raw_step))
+        multi_step = self._multi_step
         while self.iter_step < t.end_iter:
             # align chunks to the next save/val/end boundary so checkpoint
             # and validation iteration numbers match the single-step loop
@@ -288,11 +296,18 @@ class OfflineRunner:
             self.metrics.log_chunk(self.iter_step + 1, k, ms)
             self.iter_step += k
             if self.iter_step % report_freq < k:
+                # one packed fetch — five separate float() materializations
+                # were five tunnel round trips per report
+                from honerf_tpu.utils.profiling import packed_fetch
+
+                names = ("loss", "color_loss", "mask_loss", "eikonal_loss",
+                         "psnr")
+                (rep,) = packed_fetch([{n: ms[n][-1] for n in names}])
                 logger.info(
                     "iter %d loss=%.4f color=%.4f mask=%.4f eik=%.4f psnr=%.2f",
-                    self.iter_step, float(ms["loss"][-1]),
-                    float(ms["color_loss"][-1]), float(ms["mask_loss"][-1]),
-                    float(ms["eikonal_loss"][-1]), float(ms["psnr"][-1]),
+                    self.iter_step, rep["loss"][0], rep["color_loss"][0],
+                    rep["mask_loss"][0], rep["eikonal_loss"][0],
+                    rep["psnr"][0],
                 )
             if self.iter_step % save_freq == 0:
                 self.save_checkpoint_file()

@@ -43,6 +43,10 @@ def test_sharded_video_step_matches_vmapped(fit_type, idx):
         "true_rgb": jnp.tile(single["true_rgb"][None], (F, 1, 1)),
         "true_mask": jnp.ones((F, R, 1)),
         "anchor_enabled": jnp.asarray(1.0),
+        # GT poses so both steps emit the live gt_* diagnostics
+        "gt_joint3d": jnp.tile(single["joints_pred"][None], (F, 1, 1)) * 1.02,
+        "Ro_gt": jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
+        "To_gt": jnp.tile(single["To_pred"][None], (F, 1)) + 0.01,
     }
     tables = init_video_tables(n_frames)
     # nonzero refinements so pose/smooth/anchor terms are all active
@@ -67,6 +71,7 @@ def test_sharded_video_step_matches_vmapped(fit_type, idx):
     sh_state = (tables, sh_opt.init(tables))
     (sh_tables, _), sh_m = sh_step(sh_state, batch, key)
 
+    assert {"gt_joint_loss", "gt_obj_verts_loss"} <= set(ref_m) & set(sh_m)
     for k in ref_m:
         np.testing.assert_allclose(
             float(sh_m[k]), float(ref_m[k]), rtol=2e-4, atol=1e-6,
