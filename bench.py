@@ -6,6 +6,12 @@ masked losses, Adam update) at the reference batch size of 441 rays/step —
 the workload of `exp_runner.py --mode train` on
 confs/wmask_realobj_bean.conf (SURVEY.md §6).
 
+Runs in the bf16-trunk fast mode (bfloat16 activations through the MLP
+trunks, f32 matmul accumulation and losses): quality-gated against f32 on
+1200-step synthetic-scene runs for both models — PSNR trajectories match
+(obj 28.6 vs 28.7, hand 27.6 vs 27.5; scripts/quality_obj_bf16.py,
+BENCH_NOTES.md "bf16 trunk fast mode").
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  We
 normalize against an ESTIMATED 4410 rays/s for the PyTorch reference on its
 RTX 3080 Ti (10 train steps/s at 441 rays — ~106k field evals + autograd
@@ -52,8 +58,8 @@ def main() -> None:
     from honerf_tpu.train import TrainHyper, init_train_state, make_obj_train_step
     from honerf_tpu.data.synthetic import look_at_camera
 
-    sdf_cfg = SDFConfig(kind="obj")
-    color_cfg = ColorConfig(kind="obj")
+    sdf_cfg = SDFConfig(kind="obj", trunk_dtype="bf16")
+    color_cfg = ColorConfig(kind="obj", trunk_dtype="bf16")
     rcfg = RenderConfig()  # 64 + 64, up=4, perturb=1 — reference config
     tcfg = TrainHyper(batch_size=BATCH, vgg_weight=0.0)
 

@@ -285,9 +285,13 @@ class SingleFitRunner(_FitBase):
                     [f"iter: {it}, view: {v}," for (it, v) in schedule],
                     metric_chunks,
                 )
+                from honerf_tpu.utils.profiling import packed_fetch
+
+                (rep,) = packed_fetch([{k: metrics[k][-1]
+                                        for k in ("loss", "joint_loss")}])
                 logger.info(
                     "frame %d: loss=%.4f joint=%.4f", frame.frame_id,
-                    float(metrics["loss"][-1]), float(metrics["joint_loss"][-1]),
+                    rep["loss"][0], rep["joint_loss"][0],
                 )
                 self.save_pose(
                     pose_file, final_pose_numpy(state[0], consts), frame
@@ -427,9 +431,13 @@ class VideoFitRunner(_FitBase):
                     ],
                     [metrics],
                 )
+            from honerf_tpu.utils.profiling import packed_fetch
+
+            (rep,) = packed_fetch([{k: metrics[k][-1]
+                                    for k in ("loss", "smooth_loss")}])
             logger.info(
                 "epoch %d: loss=%.4f smooth=%.4f", epoch,
-                float(metrics["loss"][-1]), float(metrics["smooth_loss"][-1]),
+                rep["loss"][0], rep["smooth_loss"][0],
             )
             self._save_epoch_poses(
                 seq, state[0], save_base, epoch,

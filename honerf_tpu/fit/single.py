@@ -194,12 +194,15 @@ def make_single_fit_step(
 
 def final_pose_numpy(pose: Params, frame: Dict[str, jnp.ndarray]):
     """Materialize the fitted pose for the output pickle
-    (fitting_single.py:293-311)."""
+    (fitting_single.py:293-311) — one packed device->host transfer."""
     import numpy as np
 
+    from honerf_tpu.utils.profiling import packed_fetch
+
     joint_3d, obj_r, obj_t = current_pose(pose, frame)
+    (h,) = packed_fetch([{"j": joint_3d[0], "r": obj_r, "t": obj_t}])
     return {
-        "pred_joint3d": np.asarray(joint_3d[0]),
-        "pred_Ro": np.asarray(obj_r),
-        "pred_To": np.asarray(obj_t),
+        "pred_joint3d": h["j"].reshape(21, 3).astype(np.float32),
+        "pred_Ro": h["r"].reshape(3, 3).astype(np.float32),
+        "pred_To": h["t"].reshape(3).astype(np.float32),
     }
