@@ -152,29 +152,42 @@ class _FitBase:
             "To_gt": jnp.asarray(frame.To_gt),
         }
 
-    def _log_fit_steps(self, labels, chunks) -> None:
+    def _log_fit_steps(self, labels, chunks, frame_ids=None) -> None:
         """Per-step fit diagnostics, mirroring the reference's every-step
         print (fitting_single.py:262-265, fitting_video.py:327-331).
         `labels` yields one tuple per step, `chunks` the per-chunk stacked
-        metrics; fetched once per frame, after the device work is queued."""
+        metrics; fetched once per frame, after the device work is queued.
+        With `frame_ids` (frame-batched fitting) metric values carry a
+        trailing frame axis — one line per (step, frame); None entries are
+        padding frames and are skipped."""
         if not self.conf.get_bool("train.verbose_steps", True):
             return
         from honerf_tpu.utils.profiling import packed_fetch
 
         li = 0
+        ids = frame_ids if frame_ids is not None else [""]
+        G = len(ids)
         for m in packed_fetch(chunks):  # ONE device->host round trip
-            n = len(next(iter(m.values())))
+            n = len(next(iter(m.values()))) // G
+            v = {k: np.asarray(x).reshape(n, G) for k, x in m.items()}
+            nan = np.full((n, G), np.nan)
             for s in range(n):
                 lab = labels[li]
                 li += 1
-                logger.info(
-                    "%s loss: %.6f, color: %.6f, mask: %.6f, joint: %.6f, "
-                    "obj_verts: %.6f, gt_joint: %.6f, gt_obj_verts: %.6f",
-                    lab, m["loss"][s], m["color_loss"][s], m["mask_loss"][s],
-                    m["joint_loss"][s], m["obj_verts_loss"][s],
-                    m.get("gt_joint_loss", np.full(n, np.nan))[s],
-                    m.get("gt_obj_verts_loss", np.full(n, np.nan))[s],
-                )
+                for g, fid in enumerate(ids):
+                    if fid is None:
+                        continue  # padding frame
+                    prefix = f"frame: {fid}, " if frame_ids is not None else ""
+                    logger.info(
+                        "%s%s loss: %.6f, color: %.6f, mask: %.6f, "
+                        "joint: %.6f, obj_verts: %.6f, gt_joint: %.6f, "
+                        "gt_obj_verts: %.6f",
+                        prefix, lab, v["loss"][s, g], v["color_loss"][s, g],
+                        v["mask_loss"][s, g], v["joint_loss"][s, g],
+                        v["obj_verts_loss"][s, g],
+                        v.get("gt_joint_loss", nan)[s, g],
+                        v.get("gt_obj_verts_loss", nan)[s, g],
+                    )
 
     def view_batch(self, frame: FitFrame, view_id: int, n_rays: int):
         """Host-side (numpy) per-view ray batch — upload happens once per
@@ -212,6 +225,9 @@ class SingleFitRunner(_FitBase):
         if self.view_num == "3":
             iter_num += 10
         iter_num = self.conf.get_int("train.iter_num", iter_num)
+        # G>1: optimize G independent frames per compiled step (vmapped
+        # frame axis — the reference is strictly sequential per frame)
+        frames_per_batch = max(1, self.conf.get_int("train.frames_per_batch", 1))
         for obj_name, frame_name in list_fit_sequences(self.data_root):
             seq = load_fit_sequence(
                 self.data_root, obj_name, frame_name, self.view_num,
@@ -219,11 +235,6 @@ class SingleFitRunner(_FitBase):
                 image_hw=(self.H, self.W),
             )
             nets = self.nets_for(seq)
-            step, opt = make_single_fit_step(
-                nets, self.hand_sdf_cfg, self.hand_color_cfg,
-                self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
-            )
-            step = jax.jit(step)
             save_base = os.path.join(
                 self.fit_res_root, f"view_{len(seq.frames[0].views)}",
                 self.fit_type, obj_name, frame_name,
@@ -234,6 +245,16 @@ class SingleFitRunner(_FitBase):
             os.makedirs(cfg_dir, exist_ok=True)
             if not os.path.exists(os.path.join(cfg_dir, "config.conf")):
                 shutil.copy(self.conf_path, os.path.join(cfg_dir, "config.conf"))
+            if frames_per_batch > 1:
+                self._fit_sequence_batched(
+                    seq, nets, iter_num, pose_path, frames_per_batch
+                )
+                continue
+            step, opt = make_single_fit_step(
+                nets, self.hand_sdf_cfg, self.hand_color_cfg,
+                self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+            )
+            step = jax.jit(step)
             from honerf_tpu.train.offline import make_multi_step
 
             # K (iter, view) steps per device dispatch: rays for the whole
@@ -296,6 +317,93 @@ class SingleFitRunner(_FitBase):
                 self.save_pose(
                     pose_file, final_pose_numpy(state[0], consts), frame
                 )
+
+    def _fit_sequence_batched(self, seq: FitSequence, nets, iter_num: int,
+                              pose_path: str, G: int) -> None:
+        """Frame-batched fitting: G independent frames optimized per
+        compiled step (fit.single.make_batched_single_fit_step).  Short
+        final groups are padded by repeating the last frame (one program
+        shape, no recompile); padded results are discarded."""
+        from honerf_tpu.fit.single import (
+            final_poses_numpy,
+            init_pose_params_batched,
+            make_batched_single_fit_step,
+        )
+        from honerf_tpu.train.offline import make_multi_step
+
+        step, opt = make_batched_single_fit_step(
+            nets, self.hand_sdf_cfg, self.hand_color_cfg,
+            self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+        )
+        chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 40))
+        multi_step = jax.jit(make_multi_step(step))
+        key = jax.random.PRNGKey(0)
+        pending = [
+            f for f in seq.frames
+            if not os.path.exists(
+                os.path.join(pose_path, f"{f.frame_id}.pickle")
+            )
+        ]
+        for gs in range(0, len(pending), G):
+            group = pending[gs:gs + G]
+            n_real = len(group)
+            group = group + [group[-1]] * (G - n_real)
+            consts_np = [
+                {k: np.asarray(v)
+                 for k, v in self.frame_consts(seq, f).items()}
+                for f in group
+            ]
+            consts = {
+                k: jnp.asarray(np.stack([c[k] for c in consts_np]))
+                for k in consts_np[0]
+            }
+            poses = init_pose_params_batched(G)
+            state = (poses, jax.vmap(opt.init)(poses))
+            n_views = len(group[0].views)
+            schedule = [
+                (it, v) for it in range(iter_num) for v in range(n_views)
+            ]
+            metric_chunks = []
+            for start in range(0, len(schedule), chunk_k):
+                part = schedule[start:start + chunk_k]
+                rows = [
+                    [self.view_batch(f, view_id, self.fcfg.batch_size)
+                     for f in group]
+                    for (_it, view_id) in part
+                ]
+                stacked = {
+                    name: jnp.asarray(np.stack([
+                        np.stack([np.asarray(b[name]) for b in row])
+                        for row in rows
+                    ]))
+                    for name in rows[0][0]
+                }
+                for name in consts:
+                    stacked[name] = jnp.broadcast_to(
+                        consts[name][None],
+                        (len(part),) + consts[name].shape,
+                    )
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, (len(part), G))
+                state, metrics = multi_step(state, stacked, keys)
+                metric_chunks.append(metrics)
+            self._log_fit_steps(
+                [f"iter: {it}, view: {v}," for (it, v) in schedule],
+                metric_chunks,
+                frame_ids=[f.frame_id for f in group[:n_real]]
+                + [None] * (G - n_real),
+            )
+            for f, pose_np in zip(
+                group[:n_real], final_poses_numpy(state[0], consts, n_real)
+            ):
+                self.save_pose(
+                    os.path.join(pose_path, f"{f.frame_id}.pickle"),
+                    pose_np, f,
+                )
+            logger.info(
+                "fitted frames %s (batched G=%d)",
+                [f.frame_id for f in group[:n_real]], G,
+            )
 
 
 class VideoFitRunner(_FitBase):

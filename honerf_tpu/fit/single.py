@@ -192,6 +192,62 @@ def make_single_fit_step(
     return step_fn, opt
 
 
+def init_pose_params_batched(n_frames: int) -> Params:
+    """Pose tables for `n_frames` independent frames (leading frame axis)."""
+    return jax.tree.map(
+        lambda x: jnp.tile(x[None], (n_frames,) + (1,) * x.ndim),
+        init_pose_params(),
+    )
+
+
+def make_batched_single_fit_step(
+    net_params: Params,
+    hand_sdf_cfg: SDFConfig,
+    hand_color_cfg: ColorConfig,
+    obj_sdf_cfg: SDFConfig,
+    obj_color_cfg: ColorConfig,
+    rcfg: RenderConfig,
+    fcfg: FitHyper,
+    lrs: Dict[str, float] = SINGLE_FIT_LRS,
+):
+    """`jax.vmap` of the single-frame fit step over a leading FRAME axis:
+    optimizes G independent frames in ONE compiled program.
+
+    The reference fits frames strictly sequentially
+    (fitting_single.py:200); at 196 rays/step one frame leaves most of the
+    chip idle, so batching frames multiplies fitting throughput at the
+    same per-frame math (frames share nothing — each carries its own pose
+    tensors, Adam state, rays, and constants).  State/batch/key all gain a
+    leading (G, ...) axis; optimizer state must be built with
+    `jax.vmap(opt.init)(poses)`.
+    """
+    step_fn, opt = make_single_fit_step(
+        net_params, hand_sdf_cfg, hand_color_cfg, obj_sdf_cfg,
+        obj_color_cfg, rcfg, fcfg, lrs,
+    )
+    return jax.vmap(step_fn), opt
+
+
+def final_poses_numpy(poses: Params, frames: Dict[str, jnp.ndarray],
+                      n_real: int):
+    """Batched `final_pose_numpy`: one packed transfer for all G frames;
+    returns the first `n_real` (the rest are padding duplicates)."""
+    import numpy as np
+
+    from honerf_tpu.utils.profiling import packed_fetch
+
+    joint_3d, obj_r, obj_t = jax.vmap(current_pose)(poses, frames)
+    (h,) = packed_fetch([{"j": joint_3d[:, 0], "r": obj_r, "t": obj_t}])
+    G = obj_t.shape[0]
+    js = h["j"].reshape(G, 21, 3).astype(np.float32)
+    rs = h["r"].reshape(G, 3, 3).astype(np.float32)
+    ts = h["t"].reshape(G, 3).astype(np.float32)
+    return [
+        {"pred_joint3d": js[g], "pred_Ro": rs[g], "pred_To": ts[g]}
+        for g in range(n_real)
+    ]
+
+
 def final_pose_numpy(pose: Params, frame: Dict[str, jnp.ndarray]):
     """Materialize the fitted pose for the output pickle
     (fitting_single.py:293-311) — one packed device->host transfer."""

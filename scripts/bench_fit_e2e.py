@@ -43,6 +43,7 @@ train {{
   far = 1.5
   batch_size = 196
   verbose_steps = true
+  frames_per_batch = {G}
 }}
 model {{
   sdf_hand_network {{
@@ -146,12 +147,12 @@ def write_full_checkpoints(exp_root: str) -> None:
                      "ckpt_000010.npz"), obj)
 
 
-def run_stage(ws: str, fit_type: str) -> None:
+def run_stage(ws: str, fit_type: str, G: int = 1) -> None:
     from honerf_tpu.fit.runner import SingleFitRunner
 
-    conf = os.path.join(ws, f"fit_{fit_type}.conf")
+    conf = os.path.join(ws, f"fit_{fit_type}_g{G}.conf")
     with open(conf, "w") as f:
-        f.write(CONF.format(ws=ws, fit_type=fit_type))
+        f.write(CONF.format(ws=ws, fit_type=fit_type, G=G))
     runner = SingleFitRunner(conf, case=f"bench{fit_type}")
     times = []
     orig = runner.save_pose
@@ -163,6 +164,23 @@ def run_stage(ws: str, fit_type: str) -> None:
     runner.save_pose = timed_save
     t0 = time.perf_counter()
     runner.fitting()
+    if G > 1:
+        # batched groups: all frames of a group land at ~the same time;
+        # report group wall / G for warm groups
+        dt = time.perf_counter() - t0
+        n = len(times)
+        warm_groups = [
+            times[i] - times[i - G] for i in range(2 * G - 1, n, G)
+        ]
+        per_frame = (np.asarray(warm_groups) / G if warm_groups
+                     else np.asarray([dt / max(n, 1)]))
+        print(
+            f"fit '{fit_type}' G={G}: total {dt:.1f}s for {n} frames; warm "
+            f"{per_frame.mean():.2f}s/frame "
+            f"({', '.join(f'{t:.2f}' for t in per_frame)})",
+            flush=True,
+        )
+        return
     times.insert(0, t0)
     per_frame = np.diff(times)
     warm = per_frame[1:]
@@ -175,18 +193,21 @@ def run_stage(ws: str, fit_type: str) -> None:
 
 
 def main() -> None:
+    import sys
     import tempfile
 
+    G = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else N_FRAMES
     ws = tempfile.mkdtemp(prefix="bench_fit_")
     from honerf_tpu.data.synthetic import generate_catch_sequence
 
     generate_catch_sequence(
         os.path.join(ws, "data", "catch_sequence", "test"),
-        n_frames=N_FRAMES, n_views=8, H=230, W=266,
+        n_frames=n_frames, n_views=8, H=230, W=266,
     )
     write_full_checkpoints(os.path.join(ws, "exp"))
-    run_stage(ws, "1")
-    run_stage(ws, "12")
+    run_stage(ws, "1", G)
+    run_stage(ws, "12", G)
 
 
 if __name__ == "__main__":

@@ -315,3 +315,107 @@ def test_video_anchor_gating_exclusive_and_first_step_skip():
     # exclusive: the both-boundary window equals the first-only window,
     # not first+last
     np.testing.assert_allclose(s_both, s_first, rtol=1e-5)
+
+
+def test_batched_fit_step_matches_sequential():
+    """vmapped G-frame fit step == G sequential single-frame steps at
+    perturb=0 (frames are independent; fit.single.make_batched_single_fit_step).
+
+    Uses the coarse-only renderer and fit '1' (the importance-sampling
+    ladder and the '12' interaction masks are DISCRETE in the sdf values,
+    so vmap's float reassociation can legitimately flip a sample/mask
+    choice), and perturbed initial poses: at the identity init some
+    joint-angle gradients are ~0 (the regularizer minimum) and Adam's
+    first step is lr*sign(grad) — a sign-of-noise flip, not a semantic
+    difference.  Discrete modes are covered by the semantic test below."""
+    from honerf_tpu.fit.single import (
+        init_pose_params_batched,
+        make_batched_single_fit_step,
+    )
+
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=16, n_importance=0, up_sample_steps=1,
+                        perturb=0.0)
+    fcfg = FitHyper(batch_size=16, fit_type="1")
+    G = 3
+    frames = [make_frame(n_rays=16, seed=s) for s in range(G)]
+    keys = jax.random.split(jax.random.PRNGKey(7), G)
+    rng = np.random.default_rng(5)
+
+    def perturbed_init():
+        p = init_pose_params()
+        return jax.tree.map(
+            lambda x: x + jnp.asarray(
+                rng.normal(size=x.shape).astype(np.float32) * 0.01
+            ),
+            p,
+        )
+
+    inits = [perturbed_init() for _ in range(G)]
+
+    # sequential reference: 2 steps per frame
+    step, opt = make_single_fit_step(params, hs, hc, os_, oc, rcfg, fcfg)
+    step = jax.jit(step)
+    seq_poses, seq_metrics = [], []
+    for g in range(G):
+        st = (inits[g], opt.init(inits[g]))
+        for _ in range(2):
+            st, m = step(st, frames[g], keys[g])
+        seq_poses.append(st[0])
+        seq_metrics.append(m)
+
+    # batched: same two steps for all frames at once
+    bstep, bopt = make_batched_single_fit_step(params, hs, hc, os_, oc,
+                                               rcfg, fcfg)
+    bstep = jax.jit(bstep)
+    poses = jax.tree.map(lambda *xs: jnp.stack(xs), *inits)
+    bst = (poses, jax.vmap(bopt.init)(poses))
+    batch = {
+        k: jnp.stack([f[k] for f in frames]) for k in frames[0]
+    }
+    for _ in range(2):
+        bst, bm = bstep(bst, batch, keys)
+
+    for g in range(G):
+        for k in seq_poses[g]:
+            np.testing.assert_allclose(
+                np.asarray(bst[0][k][g]), np.asarray(seq_poses[g][k]),
+                rtol=1e-4, atol=1e-6, err_msg=f"frame {g} pose {k}",
+            )
+        np.testing.assert_allclose(
+            float(bm["loss"][g]), float(seq_metrics[g]["loss"]),
+            rtol=1e-5, err_msg=f"frame {g} loss",
+        )
+
+
+def test_batched_fit_step_12_semantic():
+    """Frame-batched fit '12' with the full ladder: finite, every pose
+    tensor of every frame updates, per-frame metrics present."""
+    from honerf_tpu.fit.single import (
+        init_pose_params_batched,
+        make_batched_single_fit_step,
+    )
+
+    params, hs, hc, os_, oc = tiny_nets()
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                        perturb=1.0)
+    fcfg = FitHyper(batch_size=16, fit_type="12")
+    G = 2
+    frames = [make_frame(n_rays=16, seed=s) for s in range(G)]
+    batch = {k: jnp.stack([f[k] for f in frames]) for k in frames[0]}
+    bstep, bopt = make_batched_single_fit_step(params, hs, hc, os_, oc,
+                                               rcfg, fcfg)
+    bstep = jax.jit(bstep)
+    poses0 = init_pose_params_batched(G)
+    bst = (poses0, jax.vmap(bopt.init)(poses0))
+    keys = jax.random.split(jax.random.PRNGKey(3), G)
+    for _ in range(3):
+        bst, bm = bstep(bst, batch, keys)
+    assert bm["loss"].shape == (G,)
+    assert np.isfinite(np.asarray(bm["loss"])).all()
+    assert {"contact_loss", "penet_loss"} <= set(bm)
+    for k in poses0:
+        for g in range(G):
+            delta = np.abs(np.asarray(bst[0][k][g])
+                           - np.asarray(poses0[k][g])).max()
+            assert delta > 0, f"frame {g} pose {k} did not update"
