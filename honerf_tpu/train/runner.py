@@ -66,11 +66,29 @@ class MetricsLogger:
     per-array fetches were costing ~15 ms/step at flush_every=20
     (scripts/diag_e2e_overhead.py, runs B vs D)."""
 
-    def __init__(self, path: str, flush_every: int = 100):
+    # JSONL metric name -> reference TensorBoard tag (exp_runner.py:244-251)
+    TB_TAGS = {
+        "loss": "Loss/loss",
+        "color_loss": "Loss/color_loss",
+        "mask_loss": "Loss/mask_loss",
+        "eikonal_loss": "Loss/eikonal_loss",
+        "s_val": "Statistics/s_val",
+        "cdf": "Statistics/cdf",
+        "weight_max": "Statistics/weight_max",
+        "psnr": "Statistics/psnr",
+    }
+
+    def __init__(self, path: str, flush_every: int = 100,
+                 tensorboard_dir: str = None):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         self._f = open(path, "a")
         self._buf: list = []
         self._flush_every = flush_every
+        self._tb = None
+        if tensorboard_dir is not None:
+            from honerf_tpu.utils.tbevents import TBEventWriter
+
+            self._tb = TBEventWriter(tensorboard_dir)
 
     def log(self, step: int, scalars: Dict[str, Any]) -> None:
         self._buf.append((step, 1, time.time(), dict(scalars)))
@@ -100,8 +118,20 @@ class MetricsLogger:
                     }
                 )
                 self._f.write(json.dumps(rec) + "\n")
+                if self._tb is not None:
+                    self._tb.add_scalars(
+                        rec["step"],
+                        {
+                            tag: rec[name]
+                            for name, tag in self.TB_TAGS.items()
+                            if name in rec
+                        },
+                        wall_time=t,
+                    )
         self._buf.clear()
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
 
 class OfflineRunner:
@@ -192,6 +222,29 @@ class OfflineRunner:
         self._multi_step = jax.jit(make_multi_step(self._raw_step))
         self.key = jax.random.PRNGKey(42)
 
+        # Multi-device ray-axis data parallelism (SURVEY.md §2.2): train
+        # chunks are device_put with the ray axis sharded over the mesh
+        # (params replicated; GSPMD inserts the gradient all-reduce over
+        # ICI).  Engages when >1 device is visible and the batch divides
+        # the mesh; `train.data_parallel = false` disables.
+        self._mesh = None
+        n_dev = len(jax.devices())
+        if (n_dev > 1 and self.conf.get_bool("train.data_parallel", True)
+                and self.tcfg.batch_size % n_dev == 0):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from honerf_tpu.parallel import DATA_AXIS, make_mesh
+
+            self._mesh = make_mesh()
+            self._chunk_ray_sharding = NamedSharding(
+                self._mesh, P(None, DATA_AXIS)  # (K, rays, ...) chunks
+            )
+            self._chunk_repl_sharding = NamedSharding(self._mesh, P())
+            logger.info(
+                "train data parallelism: ray axis sharded over %d devices",
+                n_dev,
+            )
+
         if is_continue:
             ckpt = latest_checkpoint(os.path.join(self.base_exp_dir, "checkpoints"))
             if ckpt:
@@ -199,7 +252,13 @@ class OfflineRunner:
                 self.load_checkpoint_file(ckpt)
         if mode.startswith("train"):
             self.file_backup()
-        self.metrics = MetricsLogger(os.path.join(self.base_exp_dir, "logs", "metrics.jsonl"))
+        self.metrics = MetricsLogger(
+            os.path.join(self.base_exp_dir, "logs", "metrics.jsonl"),
+            tensorboard_dir=(
+                os.path.join(self.base_exp_dir, "logs")
+                if self.conf.get_bool("train.tensorboard", False) else None
+            ),
+        )
 
     # ------------------------------------------------------------------
     # persistence
@@ -286,10 +345,22 @@ class OfflineRunner:
                 val_freq - self.iter_step % val_freq,
             )
             batch_list = [next(stream) for _ in range(k)]
-            stacked = {
-                key: jnp.asarray(np.stack([b[key] for b in batch_list]))
+            stacked_np = {
+                key: np.stack([b[key] for b in batch_list])
                 for key in batch_list[0]
             }
+            if self._mesh is not None:
+                ray_keys = ("rays_xy", "true_rgb", "true_mask")
+                stacked = {
+                    key: jax.device_put(
+                        v,
+                        self._chunk_ray_sharding if key in ray_keys
+                        else self._chunk_repl_sharding,
+                    )
+                    for key, v in stacked_np.items()
+                }
+            else:
+                stacked = {k2: jnp.asarray(v) for k2, v in stacked_np.items()}
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, k)
             self.state, ms = multi_step(self.state, stacked, keys)

@@ -143,3 +143,43 @@ def test_runner_test_render_and_mesh(workspace):
 
     v, f = load_ply(os.path.join(str(ws / "exp"), "meshes", meshes[0]))
     assert len(v) > 0 and len(f) > 0
+
+
+def test_runner_train_data_parallel_mesh(tmp_path):
+    """With a divisible batch on the 8-device CPU mesh the runner engages
+    ray-axis data parallelism (train.data_parallel default) and trains to
+    finite losses; data_parallel=false opts out."""
+    import jax
+
+    from honerf_tpu.train.runner import OfflineRunner
+
+    ws = str(tmp_path)
+    data_dir = os.path.join(ws, "data")
+    generate_object_dataset(data_dir, n_views=4, H=48, W=56)
+    conf = os.path.join(ws, "dp.conf")
+    with open(conf, "w") as f:
+        f.write(
+            SMALL_CONF.format(exp_dir=os.path.join(ws, "exp"),
+                              data_dir=data_dir)
+            .replace("batch_size = 49", "batch_size = 48")
+            .replace("end_iter = 12", "end_iter = 8")
+        )
+    runner = OfflineRunner(conf, mode="train")
+    assert runner._mesh is not None
+    assert runner._mesh.devices.size == len(jax.devices())
+    runner.train()
+    recs = [json.loads(l) for l in open(
+        os.path.join(ws, "exp", "logs", "metrics.jsonl"))]
+    assert len(recs) == 8
+    assert all(np.isfinite(r["loss"]) for r in recs)
+
+    conf2 = os.path.join(ws, "dp_off.conf")
+    with open(conf2, "w") as f:
+        f.write(
+            SMALL_CONF.format(exp_dir=os.path.join(ws, "exp2"),
+                              data_dir=data_dir)
+            .replace("batch_size = 49", "batch_size = 48")
+            .replace("refine_pose = True",
+                     "refine_pose = True\n    data_parallel = false")
+        )
+    assert OfflineRunner(conf2, mode="train")._mesh is None
