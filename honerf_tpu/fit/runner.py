@@ -338,6 +338,27 @@ class SingleFitRunner(_FitBase):
         chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 40))
         multi_step = jax.jit(make_multi_step(step))
         key = jax.random.PRNGKey(0)
+        # multi-device: the G frames are independent, so the frame axis
+        # shards embarrassingly-parallel over the mesh (each device fits
+        # its own frames; no collectives).  One v5e chip is already
+        # compute-bound at 196 rays (BENCH_NOTES), so G>1 pays off only
+        # here.  Disable with train.data_parallel = false.
+        frame_shardings = None
+        n_dev = len(jax.devices())
+        if (n_dev > 1 and G % n_dev == 0
+                and self.conf.get_bool("train.data_parallel", True)):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from honerf_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            frame_shardings = {
+                "state": NamedSharding(mesh, P("data")),      # (G, ...)
+                "chunk": NamedSharding(mesh, P(None, "data")),  # (K, G, ...)
+            }
+            logger.info(
+                "batched fitting: frame axis sharded over %d devices", n_dev
+            )
         pending = [
             f for f in seq.frames
             if not os.path.exists(
@@ -354,11 +375,16 @@ class SingleFitRunner(_FitBase):
                 for f in group
             ]
             consts = {
-                k: jnp.asarray(np.stack([c[k] for c in consts_np]))
+                k: (jnp.asarray(np.stack([c[k] for c in consts_np]))
+                    if frame_shardings is None else
+                    jax.device_put(np.stack([c[k] for c in consts_np]),
+                                   frame_shardings["state"]))
                 for k in consts_np[0]
             }
             poses = init_pose_params_batched(G)
             state = (poses, jax.vmap(opt.init)(poses))
+            if frame_shardings is not None:
+                state = jax.device_put(state, frame_shardings["state"])
             n_views = len(group[0].views)
             schedule = [
                 (it, v) for it in range(iter_num) for v in range(n_views)
@@ -371,8 +397,12 @@ class SingleFitRunner(_FitBase):
                      for f in group]
                     for (_it, view_id) in part
                 ]
+                put = (
+                    (lambda a: jax.device_put(a, frame_shardings["chunk"]))
+                    if frame_shardings is not None else jnp.asarray
+                )
                 stacked = {
-                    name: jnp.asarray(np.stack([
+                    name: put(np.stack([
                         np.stack([np.asarray(b[name]) for b in row])
                         for row in rows
                     ]))

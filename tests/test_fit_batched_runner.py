@@ -84,3 +84,32 @@ def test_batched_runner_resumes_by_artifact(batched_ws):
     after = {n: os.path.getmtime(os.path.join(pose_dir, n))
              for n in os.listdir(pose_dir)}
     assert before == after
+
+
+def test_batched_runner_frame_sharded_over_mesh(tmp_path_factory):
+    """G=8 on the 8-device CPU mesh: the frame axis shards embarrassingly
+    parallel (each device fits its own frame); all poses written and
+    finite."""
+    import jax
+
+    from honerf_tpu.fit.runner import SingleFitRunner
+
+    assert len(jax.devices()) == 8
+    ws = str(tmp_path_factory.mktemp("fitshard8"))
+    data_root = os.path.join(ws, "data", "catch_sequence", "test")
+    generate_catch_sequence(data_root, n_frames=8, n_views=4, H=48, W=56)
+    write_tiny_checkpoints(os.path.join(ws, "exp"))
+    conf = _conf(ws, "1", 8)
+    with open(conf) as f:
+        body = f.read().replace("iter_num = 2", "iter_num = 1")
+    with open(conf, "w") as f:
+        f.write(body)
+    SingleFitRunner(conf, case="tg8").fitting()
+    pose_dir = os.path.join(ws, "fit_res", "view_4", "1", "person1_bean",
+                            "seq0", "pose_1")
+    names = sorted(os.listdir(pose_dir), key=lambda n: int(n.split(".")[0]))
+    assert names == [f"{i}.pickle" for i in range(8)]
+    for n in names:
+        with open(os.path.join(pose_dir, n), "rb") as f:
+            p = pickle.load(f)
+        assert np.isfinite(p["pred_joint3d"]).all()
