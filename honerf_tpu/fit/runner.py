@@ -43,7 +43,6 @@ from honerf_tpu.hand import bone_transforms_from_mano_joints
 from honerf_tpu.models import (
     color_config_from_conf,
     sdf_config_from_conf,
-    sdf_hand_apply,
 )
 from honerf_tpu.render import RenderConfig
 from honerf_tpu.render.dual import render_dual
@@ -736,17 +735,12 @@ class GetResRunner(_FitBase):
         hand_params = nets["hand"]
         obj_params = nets["obj"]
 
-        @jax.jit
-        def hand_sdf(pts):
-            out, _, _, _ = sdf_hand_apply(
-                hand_params["sdf"],
-                # fwd-only grid eval: bone-major build fuses into the matmul
-                self.hand_sdf_cfg._replace(flat_embedding=False),
-                pts, bt_inv, t_pose,
-            )
-            return out[..., 0]
-
+        from honerf_tpu.ops.fused_hand import best_hand_sdf_fn
         from honerf_tpu.ops.fused_sdf import best_obj_sdf_fn
+
+        hand_sdf = best_hand_sdf_fn(
+            hand_params["sdf"], self.hand_sdf_cfg, bt_inv, t_pose
+        )
 
         obj_sdf_local = best_obj_sdf_fn(obj_params["sdf"], self.obj_sdf_cfg)
 

@@ -90,20 +90,40 @@ def make_hand_field(
     color_cfg: ColorConfig,
     bt_inv: jnp.ndarray,
     t_pose_21: jnp.ndarray,
+    fused_ladder: bool = False,
 ) -> Field:
     """Pose-conditioned hand field (bt_inv: (21,4,4) inverse bone
-    transforms, t_pose_21: (21,3))."""
+    transforms, t_pose_21: (21,3)).
 
-    # Forward-only evals (up-sample ladder, grid extraction) run fastest
-    # with the bone-major build — XLA fuses the whole embedding into the
-    # first matmul's operand read.  The flat channel-major build wins on
-    # the grad paths (full_fn / eikonal) instead; measured on v5e:
-    # fwd 19.7 vs 32.7 ms, fwd+bwd 7.4 vs 16.4 ms per 131k pts.
-    fwd_cfg = sdf_cfg._replace(flat_embedding=False)
+    fused_ladder=True serves sdf_fn from the Pallas fused kernel
+    (ops/fused_hand.py, ~3.9x the XLA path on TPU; bf16 weights) — valid
+    because sdf_fn feeds only the non-differentiable up-sample ladder
+    (sampling.hierarchical_z_vals ends in stop_gradient).  Callers must
+    not request gradients through sdf_fn with it on, and it must not be
+    placed under vmap (pallas_call batching is not exercised here)."""
 
-    def sdf_fn(pts):
-        out, _, _, _ = sdf_hand_apply(params["sdf"], fwd_cfg, pts, bt_inv, t_pose_21)
-        return out[..., 0]
+    if fused_ladder:
+        from honerf_tpu.ops.fused_hand import FusedHandSDF
+
+        fused = FusedHandSDF(params["sdf"], sdf_cfg)
+
+        def sdf_fn(pts):
+            return fused(pts, bt_inv, t_pose_21)
+
+    else:
+        # Forward-only evals (up-sample ladder, grid extraction) run
+        # fastest in XLA with the bone-major build — it fuses the whole
+        # embedding into the first matmul's operand read.  The flat
+        # channel-major build wins on the grad paths (full_fn / eikonal)
+        # instead; measured on v5e: fwd 19.7 vs 32.7 ms, fwd+bwd 7.4 vs
+        # 16.4 ms per 131k pts.
+        fwd_cfg = sdf_cfg._replace(flat_embedding=False)
+
+        def sdf_fn(pts):
+            out, _, _, _ = sdf_hand_apply(
+                params["sdf"], fwd_cfg, pts, bt_inv, t_pose_21
+            )
+            return out[..., 0]
 
     def full_fn(pts, dirs):
         sdf, feat, xyz_feature, r, h, grad = sdf_hand_value_feat_grad(

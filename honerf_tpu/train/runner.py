@@ -459,7 +459,6 @@ class OfflineRunner:
     def validate_mesh(self, resolution: int = 64, threshold: float = 0.0) -> None:
         """Mesh extraction for each test view's pose
         (exp_runner.py:462-536)."""
-        from honerf_tpu.models import sdf_hand_apply
         from honerf_tpu.hand import bone_transforms_from_mano_joints
 
         mesh_dir = os.path.join(self.base_exp_dir, "meshes")
@@ -467,20 +466,15 @@ class OfflineRunner:
         params = self.state["params"]
         for i, v in enumerate(self.test_scene.views):
             if self.model_type == "hand":
+                from honerf_tpu.ops.fused_hand import best_hand_sdf_fn
+
                 bt_inv = bone_transforms_from_mano_joints(
                     jnp.asarray(v.joints)[None]
                 )[0]
                 t_pose = jnp.asarray(self.test_scene.t_pose_21)
-
-                @jax.jit
-                def sdf_fn(pts, bt_inv=bt_inv, t_pose=t_pose):
-                    out, _, _, _ = sdf_hand_apply(
-                        # fwd-only grid eval: bone-major fuses into matmul
-                        params["sdf"], self.sdf_cfg._replace(flat_embedding=False),
-                        pts, bt_inv, t_pose,
-                    )
-                    return out[..., 0]
-
+                sdf_fn = best_hand_sdf_fn(
+                    params["sdf"], self.sdf_cfg, bt_inv, t_pose
+                )
                 lo, hi = mesh_bounds(self.model_type, self.data_type, v.joints)
             else:
                 from honerf_tpu.ops.fused_sdf import best_obj_sdf_fn

@@ -1,12 +1,12 @@
-"""Object-model bf16-trunk quality check on the synthetic sphere scene.
+"""bf16-trunk fast-mode quality check on a synthetic scene.
 
-Trains the full reference object architecture for 1200 steps twice (f32
-trunk vs model.*.trunk_dtype=bf16) on the same synthetic sphere dataset and
-compares the PSNR trajectory — the acceptance gate for enabling the bf16
-fast mode on the object model (the hand model's gate ran in round 2, see
-BENCH_NOTES.md "bf16 trunk fast mode").
+Trains the full reference architecture for 1200 steps twice (f32 trunk vs
+model.*.trunk_dtype=bf16) on the same synthetic dataset and compares the
+PSNR trajectory — the acceptance gate for the bf16 fast mode.  For the
+hand model the bf16 run also exercises the fused Pallas up-sample ladder
+(ops/fused_hand.py), so this gates both together.
 
-Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_obj_bf16.py
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_obj_bf16.py [obj|hand]
 """
 
 import json
@@ -32,18 +32,25 @@ from bench_runner_e2e import CONF  # same full-architecture conf template
 STEPS = 1200
 
 
-def run(trunk: str) -> dict:
-    root = tempfile.mkdtemp(prefix=f"quality_obj_{trunk}_")
+def run(trunk: str, model_type: str = "obj") -> dict:
+    root = tempfile.mkdtemp(prefix=f"quality_{model_type}_{trunk}_")
     data_dir = os.path.join(root, "data")
     exp_dir = os.path.join(root, "exp")
-    from honerf_tpu.data.synthetic import generate_object_dataset
+    if model_type == "obj":
+        from honerf_tpu.data.synthetic import generate_object_dataset
 
-    generate_object_dataset(data_dir, n_views=8, H=230, W=266)
+        generate_object_dataset(data_dir, n_views=8, H=230, W=266)
+    else:
+        from honerf_tpu.data.synthetic import generate_hand_dataset
+
+        generate_hand_dataset(data_dir, n_frames=1, n_views=8, H=230, W=266)
     conf_path = os.path.join(root, "q.conf")
     with open(conf_path, "w") as f:
         f.write(CONF.format(
-            exp_dir=exp_dir, data_dir=data_dir, model_type="obj",
-            lr="5e-4", end_iter=STEPS, r_multires=4,
+            exp_dir=exp_dir, data_dir=data_dir, model_type=model_type,
+            lr="5e-4" if model_type == "obj" else "1e-4",
+            end_iter=STEPS,
+            r_multires=4 if model_type == "obj" else 7,
             trunk='trunk_dtype = "bf16"' if trunk == "bf16" else "",
         ))
     from honerf_tpu.train.runner import OfflineRunner
@@ -55,6 +62,7 @@ def run(trunk: str) -> dict:
     recs = [json.loads(l) for l in open(
         os.path.join(exp_dir, "logs", "metrics.jsonl"))]
     out = {
+        "model": model_type,
         "trunk": trunk,
         "wall_s": round(dt, 1),
         "psnr_first100": round(float(np.mean(
@@ -69,8 +77,9 @@ def run(trunk: str) -> dict:
 
 
 def main() -> None:
+    model_type = sys.argv[1] if len(sys.argv) > 1 else "obj"
     for trunk in ("f32", "bf16"):
-        print(json.dumps(run(trunk)), flush=True)
+        print(json.dumps(run(trunk, model_type)), flush=True)
 
 
 if __name__ == "__main__":

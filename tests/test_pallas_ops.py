@@ -60,3 +60,68 @@ def test_fused_small_config():
     want = np.asarray(sdf_obj_apply(params, cfg, pts)[:, 0])
     got = np.asarray(fused_eval(params, cfg, pts))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
+
+
+class TestFusedHand:
+    def _setup(self, cfg):
+        from honerf_tpu.data.synthetic import canonical_hand_joints
+        from honerf_tpu.hand import bone_transforms_from_mano_joints
+
+        params = init_sdf_params(jax.random.PRNGKey(0), cfg)
+        joints = jnp.asarray(canonical_hand_joints(0.3))
+        bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+        t_pose = jnp.asarray(canonical_hand_joints(0.0))
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(
+            rng.normal(size=(300, 3)).astype(np.float32) * 0.1
+            + np.asarray(joints.mean(0))
+        )
+        return params, bt_inv, t_pose, pts
+
+    @pytest.mark.parametrize("cfg", [
+        SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                  skip_in=(2,), v_multires=3, r_multires=2),
+        SDFConfig(kind="hand", r_multires=7),
+    ], ids=["tiny", "full"])
+    def test_matches_xla_forward(self, cfg):
+        """Fused hand kernel (interpret mode) == XLA bone-major forward to
+        bf16-weight tolerance, tiny and full architectures."""
+        from honerf_tpu.models.fields import sdf_hand_apply
+        from honerf_tpu.ops.fused_hand import FusedHandSDF
+
+        params, bt_inv, t_pose, pts = self._setup(cfg)
+        ref, _, _, _ = sdf_hand_apply(
+            params, cfg._replace(flat_embedding=False), pts, bt_inv, t_pose
+        )
+        fused = FusedHandSDF(params, cfg, interpret=True)
+        got = np.asarray(fused(pts, bt_inv, t_pose))
+        np.testing.assert_allclose(got, np.asarray(ref[:, 0]),
+                                   atol=2e-3, rtol=1e-3)
+
+    def test_best_hand_sdf_fn_cpu_falls_back_to_xla(self):
+        from honerf_tpu.ops.fused_hand import best_hand_sdf_fn
+
+        cfg = SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                        skip_in=(2,), v_multires=3, r_multires=2)
+        params, bt_inv, t_pose, pts = self._setup(cfg)
+        fn = best_hand_sdf_fn(params, cfg, bt_inv, t_pose)
+        out = np.asarray(fn(pts))
+        assert out.shape == (300,) and np.isfinite(out).all()
+
+    def test_double_angle_recurrence_accuracy(self):
+        """sin/cos(2^l x) via the doubling recurrence stays well inside
+        bf16 feature precision across the hand PE range."""
+        from honerf_tpu.ops.fused_hand import _pe_pieces
+
+        x = jnp.asarray(np.linspace(0.0, 1.5, 257, dtype=np.float32))[None]
+        gate = jnp.ones_like(x)
+        sins, coss = _pe_pieces(x, gate, 10)
+        for l in range(10):
+            np.testing.assert_allclose(
+                np.asarray(sins[l][0], np.float32),
+                np.sin(np.asarray(x[0]) * 2.0 ** l), atol=8e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(coss[l][0], np.float32),
+                np.cos(np.asarray(x[0]) * 2.0 ** l), atol=8e-3,
+            )
