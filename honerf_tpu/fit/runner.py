@@ -782,15 +782,23 @@ class GetResRunner(_FitBase):
 def render_dual_views(
     nets, hand_sdf_cfg, hand_color_cfg, obj_sdf_cfg, obj_color_cfg,
     rcfg, fcfg, seq, joints, obj_r, obj_t, views, H, W, render_path,
-    chunk: int = 128,
+    chunk: int = 2048,
 ):
     """Full-image dual-volume renders of `views` at a fitted pose — shared
     by GetResRunner (get_res.py:246-287) and the video fitter's optional
-    per-epoch renders (fitting_video.py:426-474)."""
+    per-epoch renders (fitting_video.py:426-474).
+
+    The reference chunks at 128 rays (get_res.py:271-272); renders are
+    inference-only so larger chunks just amortize dispatch, and all chunk
+    outputs are fetched in ONE device->host transfer per image — on the
+    tunneled TPU a per-chunk np.asarray is a full round trip (~38 ms x
+    478 chunks at the reference size)."""
     bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+    # fwd-only, unbatched: safe for the fused Pallas ladder on one chip
+    use_fused = jax.default_backend() != "cpu" and len(jax.devices()) == 1
     hand_field = make_hand_field(
         nets["hand"], hand_sdf_cfg, hand_color_cfg, bt_inv,
-        jnp.asarray(seq.t_pose_21),
+        jnp.asarray(seq.t_pose_21), fused_ladder=use_fused,
     )
     obj_field = make_obj_field(nets["obj"], obj_sdf_cfg, obj_color_cfg)
     rcfg = rcfg._replace(perturb=0.0)
@@ -811,18 +819,18 @@ def render_dual_views(
     grid = np.asarray(full_image_ndc_grid(H, W))
     for tv in views:
         n = grid.shape[0]
-        img = np.zeros((n, 3), np.float32)
+        outs = []
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             rays = grid[s:e]
             if rays.shape[0] < chunk:
                 rays = np.pad(rays, ((0, chunk - rays.shape[0]), (0, 0)))
-            out = render_chunk(
+            outs.append(render_chunk(
                 jnp.asarray(tv.cam_R), jnp.asarray(tv.cam_T),
                 jnp.asarray(tv.focal), jnp.asarray(tv.principal),
                 jnp.asarray(rays),
-            )
-            img[s:e] = np.asarray(out)[: e - s]
+            ))
+        img = np.asarray(jnp.concatenate(outs, axis=0))[:n]  # one fetch
         img_u8 = np.clip(img.reshape(H, W, 3) * 255, 0, 255).astype(np.uint8)
         from honerf_tpu.train.runner import _write_image
 

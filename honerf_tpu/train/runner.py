@@ -398,7 +398,6 @@ class OfflineRunner:
             "train.eval_chunk", max(self.tcfg.batch_size, 4096)
         )
         n = grid.shape[0]
-        out = np.zeros((n, 3), np.float32)
         base = {
             "cam_R": jnp.asarray(v.cam_R),
             "cam_T": jnp.asarray(v.cam_T),
@@ -421,6 +420,7 @@ class OfflineRunner:
             mesh = make_mesh()
             chunk = -(-chunk // n_dev) * n_dev  # round up to divide the mesh
             ray_sharding = data_sharding(mesh)
+        outs = []
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             rays = grid[s:e]
@@ -434,7 +434,10 @@ class OfflineRunner:
             color, _ws = self._eval_render(
                 self.state["params"], batch, jax.random.PRNGKey(0)
             )
-            out[s:e] = np.asarray(color)[: e - s]
+            outs.append(color)
+        # one device->host fetch per image (per-chunk np.asarray is a full
+        # tunnel round trip)
+        out = np.asarray(jnp.concatenate(outs, axis=0))[:n]
         return out.reshape(self.H, self.W, 3)
 
     def test(self) -> None:

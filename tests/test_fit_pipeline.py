@@ -310,3 +310,31 @@ def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
         os.path.join(ws, "fit_res", "analys_res", "view_4", "1",
                      "person1_bean", "seq0", "int", "0.pickle")
     )
+
+
+def test_get_res_render_path(pipeline_ws, monkeypatch):
+    """GetResRunner --render: full-image dual renders of the held-out
+    views at the fitted pose (get_res.py:246-287) through the one-fetch
+    chunked path."""
+    import numpy as np
+
+    from honerf_tpu.data import fit_datasets
+    from honerf_tpu.fit.runner import GetResRunner
+
+    ws = pipeline_ws
+    if not os.path.isdir(os.path.join(ws, "fit_res", "view_4", "12")):
+        test_fit_pipeline_end_to_end(pipeline_ws)
+    # the synthetic fixture has no dedicated test cameras; reuse view 0
+    monkeypatch.setattr(
+        fit_datasets, "RENDER_TEST_VIEWS", fit_datasets.VIEW_LISTS["8"][:1]
+    )
+    GetResRunner(_conf(ws, "12"), case="render12", render=True).fitting()
+    render_dir = os.path.join(ws, "fit_res", "analys_res", "view_4", "12",
+                              "person1_bean", "seq0", "render_12")
+    pngs = sorted(os.listdir(render_dir))
+    assert pngs, "no renders written"
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(render_dir, pngs[0])))
+    assert img.shape[:2] == (48, 56)
+    assert np.isfinite(img).all()
