@@ -782,17 +782,21 @@ class GetResRunner(_FitBase):
 def render_dual_views(
     nets, hand_sdf_cfg, hand_color_cfg, obj_sdf_cfg, obj_color_cfg,
     rcfg, fcfg, seq, joints, obj_r, obj_t, views, H, W, render_path,
-    chunk: int = 2048,
+    chunk: int = 0,
 ):
     """Full-image dual-volume renders of `views` at a fitted pose — shared
     by GetResRunner (get_res.py:246-287) and the video fitter's optional
     per-epoch renders (fitting_video.py:426-474).
 
     The reference chunks at 128 rays (get_res.py:271-272); renders are
-    inference-only so larger chunks just amortize dispatch, and all chunk
-    outputs are fetched in ONE device->host transfer per image — on the
-    tunneled TPU a per-chunk np.asarray is a full round trip (~38 ms x
-    478 chunks at the reference size)."""
+    inference-only so larger host chunks just amortize dispatch, and all
+    chunk outputs are fetched in ONE device->host transfer per image — on
+    the tunneled TPU a per-chunk np.asarray is a full round trip (~38 ms
+    x 478 chunks at the reference size).  Inside each dispatch the render
+    body lax.maps 882-ray sub-chunks on non-CPU backends: large
+    single-dispatch forward renders are MISCOMPILED by the tunneled
+    backend (>=1764 silently black, >=4096 all-NaN —
+    train.offline.eval_ray_chunk, BENCH_NOTES "Known issues")."""
     bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
     # fwd-only, unbatched: safe for the fused Pallas ladder on one chip
     use_fused = jax.default_backend() != "cpu" and len(jax.devices()) == 1
@@ -802,19 +806,32 @@ def render_dual_views(
     )
     obj_field = make_obj_field(nets["obj"], obj_sdf_cfg, obj_color_cfg)
     rcfg = rcfg._replace(perturb=0.0)
+    inner = 882 if jax.default_backend() != "cpu" else 0
+    if not chunk:
+        chunk = 4 * inner if inner else 2048
 
     @jax.jit
     def render_chunk(cam_R, cam_T, focal, principal, rays_xy):
         cam = Camera(R=cam_R, T=cam_T, focal=focal, principal=principal)
         rb = xy_to_ray_bundle(cam, rays_xy)
-        oo, do = rays_to_object_frame(
-            rb.origins, rb.directions, jnp.asarray(obj_r), jnp.asarray(obj_t)
-        )
-        out = render_dual(
-            hand_field, obj_field, rcfg, jax.random.PRNGKey(0),
-            rb.origins, rb.directions, oo, do, fcfg.near, fcfg.far,
-        )
-        return out["color_fine"]
+
+        def body(args):
+            o, d = args
+            oo, do = rays_to_object_frame(
+                o, d, jnp.asarray(obj_r), jnp.asarray(obj_t)
+            )
+            out = render_dual(
+                hand_field, obj_field, rcfg, jax.random.PRNGKey(0),
+                o, d, oo, do, fcfg.near, fcfg.far,
+            )
+            return out["color_fine"]
+
+        n = rays_xy.shape[0]
+        if inner and n > inner and n % inner == 0:
+            o = rb.origins.reshape(-1, inner, 3)
+            d = rb.directions.reshape(-1, inner, 3)
+            return jax.lax.map(body, (o, d)).reshape(n, 3)
+        return body((rb.origins, rb.directions))
 
     grid = np.asarray(full_image_ndc_grid(H, W))
     for tv in views:

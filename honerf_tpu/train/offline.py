@@ -264,22 +264,31 @@ def hand_render_from_batch(
     tcfg: TrainHyper,
     batch: Dict[str, jnp.ndarray],
     key,
+    fused_ladder: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph."""
+    """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph.
+
+    fused_ladder: serve the (non-differentiable) up-sample ladder from the
+    fused Pallas kernel — 3.9x the XLA ladder on one TPU chip; bf16
+    kernel weights shift sample placement slightly (quality-gated for
+    training, BENCH_NOTES).  Default False = follow the trunk dtype (the
+    bf16 fast mode opts in); True/None = force on (the inference-only
+    eval render).  Always off on the CPU backend (no Mosaic) and
+    multi-device meshes (the GSPMD partitioner is not exercised over the
+    pallas_call here)."""
     cam = Camera(
         R=batch["cam_R"], T=batch["cam_T"],
         focal=batch["focal"], principal=batch["principal"],
     )
     rb = xy_to_ray_bundle(cam, batch["rays_xy"])
     bt_inv = refined_hand_pose(params, tcfg, batch)
-    # bf16 fast mode also serves the (non-differentiable) up-sample ladder
-    # from the fused Pallas kernel — 3.9x the XLA ladder on one TPU chip.
-    # Kept off the CPU backend (no Mosaic) and multi-device meshes (the
-    # GSPMD partitioner is not exercised over the pallas_call here).
-    use_fused = (
-        sdf_cfg.trunk_dtype == "bf16"
-        and jax.default_backend() != "cpu"
-        and len(jax.devices()) == 1
+    single_tpu = (
+        jax.default_backend() != "cpu" and len(jax.devices()) == 1
+    )
+    use_fused = single_tpu and (
+        fused_ladder is None
+        or fused_ladder
+        or sdf_cfg.trunk_dtype == "bf16"
     )
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
@@ -353,11 +362,32 @@ def make_multi_step(step_fn):
     return multi
 
 
+SAFE_FORWARD_RAY_CHUNK = 882
+
+
+def eval_ray_chunk(tcfg: TrainHyper) -> int:
+    """Effective inner ray_chunk for inference renders.
+
+    The tunneled TPU backend MISCOMPILES large single-dispatch forward
+    renders: at the full reference render body, chunk >= 1764 silently
+    renders black and chunk >= 4096 all-NaN, while <= 882 is validated
+    correct (scripts measurements recorded in BENCH_NOTES.md "Known
+    issues"; same backend fault as the batch-1764 train-grad NaN).  Eval
+    renders therefore always lax.map the known-good 882-ray body on
+    non-CPU backends; a conf-pinned train.ray_chunk wins.  Host-side
+    chunks must be a multiple of this for the chunked path to engage
+    (train/runner.py sizes them accordingly)."""
+    if tcfg.ray_chunk:
+        return tcfg.ray_chunk
+    return SAFE_FORWARD_RAY_CHUNK if jax.default_backend() != "cpu" else 0
+
+
 def make_obj_eval_render(
     sdf_cfg: SDFConfig, color_cfg: ColorConfig, rcfg: RenderConfig, tcfg: TrainHyper
 ):
     """Jittable chunked eval render (no grad, perturb off)."""
     rcfg_eval = rcfg._replace(perturb=0.0)
+    tcfg = tcfg._replace(ray_chunk=eval_ray_chunk(tcfg))
 
     def render_chunk(params, batch, key):
         out = obj_render_from_batch(
@@ -373,13 +403,19 @@ def make_hand_eval_render(
 ):
     """Jittable chunked eval render for the hand model (pose from batch
     joints, no refinement — matches validate/test recomputing bt_inv,
-    exp_runner.py:318-331)."""
+    exp_runner.py:318-331).  Inference-only, so the fused Pallas ladder
+    engages on a single TPU chip regardless of the training trunk dtype
+    (the bf16-weight sample-placement shift is an eval-time
+    approximation, same as mesh extraction's)."""
     rcfg_eval = rcfg._replace(perturb=0.0)
-    tcfg_eval = tcfg._replace(refine_pose=False)
+    tcfg_eval = tcfg._replace(
+        refine_pose=False, ray_chunk=eval_ray_chunk(tcfg)
+    )
 
     def render_chunk(params, batch, key):
         out = hand_render_from_batch(
-            params, sdf_cfg, color_cfg, rcfg_eval, tcfg_eval, batch, key
+            params, sdf_cfg, color_cfg, rcfg_eval, tcfg_eval, batch, key,
+            fused_ladder=None,  # auto: on for single-chip TPU
         )
         return out["color_fine"], out["weight_sum"]
 

@@ -392,11 +392,20 @@ class OfflineRunner:
         grid = np.asarray(full_image_ndc_grid(self.H, self.W))
         # full-image renders are inference-only: larger chunks amortize
         # dispatch overhead (the reference chunks at batch_size,
-        # exp_runner.py:356 — measured 3.4x slower than 4096+ chunks on
-        # TPU v5e; `train.eval_chunk` overrides)
-        chunk = self.conf.get_int(
-            "train.eval_chunk", max(self.tcfg.batch_size, 4096)
+        # exp_runner.py:356).  On non-CPU backends the host chunk is a
+        # multiple of the 882-ray safe body so the eval render's lax.map
+        # path engages — large SINGLE-dispatch forward renders are
+        # miscompiled by the tunneled backend (>=1764 silently black,
+        # >=4096 all-NaN; offline.eval_ray_chunk / BENCH_NOTES "Known
+        # issues").  `train.eval_chunk` overrides (keep it a multiple of
+        # train.ray_chunk's effective value).
+        from honerf_tpu.train.offline import eval_ray_chunk
+
+        inner = eval_ray_chunk(self.tcfg)
+        default_chunk = (
+            8 * inner if inner else max(self.tcfg.batch_size, 4096)
         )
+        chunk = self.conf.get_int("train.eval_chunk", default_chunk)
         n = grid.shape[0]
         base = {
             "cam_R": jnp.asarray(v.cam_R),
