@@ -249,9 +249,17 @@ class SingleFitRunner(_FitBase):
                     seq, nets, iter_num, pose_path, frames_per_batch
                 )
                 continue
+            # fused Pallas hand ladder on one TPU chip (gradient-severed;
+            # train.fused_ladder=false opts out — quality gate in
+            # scripts/quality_fit_fused.py)
+            fused = self.conf.get_bool(
+                "train.fused_ladder",
+                jax.default_backend() != "cpu" and len(jax.devices()) == 1,
+            )
             step, opt = make_single_fit_step(
                 nets, self.hand_sdf_cfg, self.hand_color_cfg,
                 self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
+                fused_ladder=fused,
             )
             step = jax.jit(step)
             from honerf_tpu.train.offline import make_multi_step

@@ -114,9 +114,17 @@ def make_single_fit_step(
     rcfg: RenderConfig,
     fcfg: FitHyper,
     lrs: Dict[str, float] = SINGLE_FIT_LRS,
+    fused_ladder: bool = False,
 ):
     """Build the jittable fit step.  `net_params` holds the FROZEN offline
-    models: {'hand': {sdf,color,variance}, 'obj': {...}}."""
+    models: {'hand': {sdf,color,variance}, 'obj': {...}}.
+
+    fused_ladder serves the hand side of the dual importance-sampling
+    ladder from the Pallas kernel (ops/fused_hand.py) — the ladder is
+    non-differentiable, so pose gradients are unaffected; sample
+    placement shifts slightly (bf16 kernel weights).  Quality-gated on
+    the synthetic catch sequence (scripts/quality_fit_fused.py); leave
+    False under vmap (the frame-batched step)."""
     opt = make_pose_optimizer(lrs)
 
     def loss_fn(pose: Params, batch: Dict[str, jnp.ndarray], key):
@@ -124,7 +132,7 @@ def make_single_fit_step(
         bt_inv = bone_transforms_from_mano_joints(joint_3d)[0]
         hand_field = make_hand_field(
             net_params["hand"], hand_sdf_cfg, hand_color_cfg, bt_inv,
-            batch["t_pose_21"],
+            batch["t_pose_21"], fused_ladder=fused_ladder,
         )
         obj_field = make_obj_field(net_params["obj"], obj_sdf_cfg, obj_color_cfg)
         cam = Camera(
