@@ -147,3 +147,24 @@ def test_render_jit_compiles_once():
     # different keys -> different stratified jitter -> different per-sample
     # weights (the uniform-color sphere keeps color_fine identical)
     assert not np.allclose(np.asarray(out1["weights"]), np.asarray(out2["weights"]))
+
+
+def test_eval_ray_chunk_backend_guard(monkeypatch):
+    """Inference renders must lax.map the validated 882-ray body on
+    non-CPU backends (the tunneled TPU silently corrupts single-dispatch
+    forward renders >= ~1764 rays — BENCH_NOTES 'Known issues'); CPU
+    stays unchunked; an explicit train.ray_chunk wins."""
+    import jax
+
+    from honerf_tpu.train.offline import (
+        SAFE_FORWARD_RAY_CHUNK,
+        TrainHyper,
+        eval_ray_chunk,
+    )
+
+    assert SAFE_FORWARD_RAY_CHUNK == 882
+    assert eval_ray_chunk(TrainHyper()) == 0  # CPU under conftest
+    assert eval_ray_chunk(TrainHyper(ray_chunk=441)) == 441
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert eval_ray_chunk(TrainHyper()) == 882
+    assert eval_ray_chunk(TrainHyper(ray_chunk=441)) == 441
