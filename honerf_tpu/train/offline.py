@@ -50,6 +50,14 @@ class TrainHyper(NamedTuple):
     vgg_weight: float = 1.0
     refine_pose: bool = True
     batch_size: int = 441
+    # Fused Pallas hand ladder: None = auto (on when trunk_dtype == 'bf16'
+    # on one TPU chip), True = force on, False = force off (debug /
+    # quality comparison).  `train.fused_ladder` conf key.
+    fused_ladder: Optional[bool] = None
+    # Differentiable fused fine pass (ops/fused_fine.py, custom-VJP
+    # Pallas trunk): same tri-state; auto = on when trunk_dtype == 'bf16'
+    # on one TPU chip.  `train.fused_fine` conf key.
+    fused_fine: Optional[bool] = None
     # Render the ray axis in lax.map chunks of this size when batch_size
     # exceeds it (0 = off).  Workaround for a tunneled-backend miscompile
     # at ray counts >~1.7k (see BENCH_NOTES.md "Known issues"): the
@@ -76,6 +84,14 @@ class TrainHyper(NamedTuple):
                 and str(conf.get("general.data_type", "real")) == "real"
             ),
             batch_size=int(conf["train.batch_size"]),
+            fused_ladder=(
+                None if conf.get("train.fused_ladder", None) is None
+                else bool(conf.get("train.fused_ladder"))
+            ),
+            fused_fine=(
+                None if conf.get("train.fused_fine", None) is None
+                else bool(conf.get("train.fused_fine"))
+            ),
             ray_chunk=int(conf.get("train.ray_chunk", 0)),
         )
 
@@ -120,6 +136,19 @@ def _render_rays_chunked(field, rcfg, tcfg, key, o, d) -> Dict[str, jnp.ndarray]
     n = o.shape[0]
     chunk = tcfg.ray_chunk
     if not chunk or n <= chunk or n % chunk != 0:
+        if chunk and n > chunk and n % chunk != 0:
+            # silent fallback to the single-dispatch program would hit the
+            # exact miscompile the chunk exists to dodge (ADVICE r2)
+            import warnings
+
+            warnings.warn(
+                f"ray_chunk={chunk} does not divide the ray count {n}; "
+                "falling back to the UNCHUNKED render body, which the "
+                "tunneled TPU backend miscompiles at >= ~1764 rays "
+                "(BENCH_NOTES 'Known issues').  Size host chunks as a "
+                "multiple of ray_chunk.",
+                stacklevel=2,
+            )
         return render_single(
             field, rcfg, key, o, d, tcfg.near, tcfg.far,
             cumprod_seed="prev_cdf",
@@ -264,18 +293,19 @@ def hand_render_from_batch(
     tcfg: TrainHyper,
     batch: Dict[str, jnp.ndarray],
     key,
-    fused_ladder: bool = False,
+    fused_ladder: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph.
 
     fused_ladder: serve the (non-differentiable) up-sample ladder from the
     fused Pallas kernel — 3.9x the XLA ladder on one TPU chip; bf16
     kernel weights shift sample placement slightly (quality-gated for
-    training, BENCH_NOTES).  Default False = follow the trunk dtype (the
-    bf16 fast mode opts in); True/None = force on (the inference-only
-    eval render).  Always off on the CPU backend (no Mosaic) and
-    multi-device meshes (the GSPMD partitioner is not exercised over the
-    pallas_call here)."""
+    training, BENCH_NOTES).  Tri-state: None = defer to tcfg.fused_ladder
+    (itself None = auto-on when trunk_dtype == 'bf16'), True = force on
+    (the inference-only eval render), False = force OFF even in bf16 mode
+    (debug / quality comparison — ADVICE r2).  Always off on the CPU
+    backend (no Mosaic) and multi-device meshes (the GSPMD partitioner is
+    not exercised over the pallas_call here)."""
     cam = Camera(
         R=batch["cam_R"], T=batch["cam_T"],
         focal=batch["focal"], principal=batch["principal"],
@@ -285,14 +315,17 @@ def hand_render_from_batch(
     single_tpu = (
         jax.default_backend() != "cpu" and len(jax.devices()) == 1
     )
+    want = fused_ladder if fused_ladder is not None else tcfg.fused_ladder
     use_fused = single_tpu and (
-        fused_ladder is None
-        or fused_ladder
-        or sdf_cfg.trunk_dtype == "bf16"
+        want if want is not None else sdf_cfg.trunk_dtype == "bf16"
+    )
+    use_fine = single_tpu and (
+        tcfg.fused_fine if tcfg.fused_fine is not None
+        else sdf_cfg.trunk_dtype == "bf16"
     )
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
-        fused_ladder=use_fused,
+        fused_ladder=use_fused, fused_fine=use_fine,
     )
     return _render_rays_chunked(
         field, rcfg, tcfg, key, rb.origins, rb.directions
@@ -362,7 +395,10 @@ def make_multi_step(step_fn):
     return multi
 
 
-SAFE_FORWARD_RAY_CHUNK = 882
+from honerf_tpu.utils.backend_probe import (  # noqa: E402  (re-export)
+    SAFE_RAY_CHUNK as SAFE_FORWARD_RAY_CHUNK,
+    safe_ray_chunk,
+)
 
 
 def eval_ray_chunk(tcfg: TrainHyper) -> int:
@@ -373,13 +409,16 @@ def eval_ray_chunk(tcfg: TrainHyper) -> int:
     renders black and chunk >= 4096 all-NaN, while <= 882 is validated
     correct (scripts measurements recorded in BENCH_NOTES.md "Known
     issues"; same backend fault as the batch-1764 train-grad NaN).  Eval
-    renders therefore always lax.map the known-good 882-ray body on
-    non-CPU backends; a conf-pinned train.ray_chunk wins.  Host-side
-    chunks must be a multiple of this for the chunked path to engage
-    (train/runner.py sizes them accordingly)."""
+    renders therefore lax.map the known-good 882-ray body whenever the
+    backend workarounds engage (utils.backend_probe — one env switch,
+    HONERF_BACKEND_WORKAROUNDS, gates all of them; run
+    scripts/canary_backend.py on a new backend first).  A conf-pinned
+    train.ray_chunk wins.  Host-side chunks must be a multiple of this
+    for the chunked path to engage (train/runner.py sizes them
+    accordingly)."""
     if tcfg.ray_chunk:
         return tcfg.ray_chunk
-    return SAFE_FORWARD_RAY_CHUNK if jax.default_backend() != "cpu" else 0
+    return safe_ray_chunk()
 
 
 def make_obj_eval_render(
@@ -406,16 +445,18 @@ def make_hand_eval_render(
     exp_runner.py:318-331).  Inference-only, so the fused Pallas ladder
     engages on a single TPU chip regardless of the training trunk dtype
     (the bf16-weight sample-placement shift is an eval-time
-    approximation, same as mesh extraction's)."""
+    approximation, same as mesh extraction's); train.fused_ladder=false
+    force-disables it here too."""
     rcfg_eval = rcfg._replace(perturb=0.0)
     tcfg_eval = tcfg._replace(
         refine_pose=False, ray_chunk=eval_ray_chunk(tcfg)
     )
+    eval_fused = False if tcfg.fused_ladder is False else True
 
     def render_chunk(params, batch, key):
         out = hand_render_from_batch(
             params, sdf_cfg, color_cfg, rcfg_eval, tcfg_eval, batch, key,
-            fused_ladder=None,  # auto: on for single-chip TPU
+            fused_ladder=eval_fused,
         )
         return out["color_fine"], out["weight_sum"]
 

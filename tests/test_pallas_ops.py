@@ -108,6 +108,75 @@ class TestFusedHand:
         out = np.asarray(fn(pts))
         assert out.shape == (300,) and np.isfinite(out).all()
 
+    def test_vmap_misuse_raises(self):
+        """VERDICT r2 #4: placing the fused ladder under vmap must raise
+        loudly instead of silently severing gradients / exercising
+        untested pallas batching."""
+        from honerf_tpu.ops.fused_hand import FusedHandSDF
+
+        cfg = SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                        skip_in=(2,), v_multires=3, r_multires=2)
+        params, bt_inv, t_pose, pts = self._setup(cfg)
+        fused = FusedHandSDF(params, cfg, interpret=True)
+        batched = jnp.stack([pts, pts])
+        with pytest.raises(ValueError, match="vmap"):
+            jax.vmap(lambda p: fused(p, bt_inv, t_pose))(batched)
+
+    def test_make_hand_field_fused_refuses_unsupported_backend(self):
+        """make_hand_field(fused_ladder=True) raises at build time on an
+        unsupported configuration (CPU backend here) instead of failing
+        deep inside Mosaic."""
+        from honerf_tpu.render.neus import make_hand_field
+        from honerf_tpu.models import ColorConfig, init_color_params, \
+            init_variance_params
+
+        cfg = SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                        skip_in=(2,), v_multires=3, r_multires=2)
+        params, bt_inv, t_pose, _pts = self._setup(cfg)
+        ccfg = ColorConfig(kind="hand", n_layers=2, d_hidden=64,
+                           v_multires=3, r_multires=2)
+        full = {
+            "sdf": params,
+            "color": init_color_params(jax.random.PRNGKey(2), ccfg),
+            "variance": init_variance_params(0.3),
+        }
+        with pytest.raises(RuntimeError, match="fused hand ladder"):
+            make_hand_field(full, cfg, ccfg, bt_inv, t_pose,
+                            fused_ladder=True)
+
+    def test_fused_hand_under_shard_map(self):
+        """VERDICT r2 #9 capability check: the fused kernel inside a
+        shard_map per-device body (interpret mode, 2-device CPU mesh)
+        matches the XLA forward — the basis for the
+        HONERF_FUSED_LADDER_MULTIDEV opt-in."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from honerf_tpu.models.fields import sdf_hand_apply
+        from honerf_tpu.ops.fused_hand import FusedHandSDF
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        cfg = SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
+                        skip_in=(2,), v_multires=3, r_multires=2)
+        params, bt_inv, t_pose, pts = self._setup(cfg)
+        n = (pts.shape[0] // 2) * 2
+        pts = pts[:n]
+        fused = FusedHandSDF(params, cfg, interpret=True)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("d",))
+
+        sharded = shard_map(
+            lambda p: fused(p, bt_inv, t_pose),
+            mesh=mesh, in_specs=P("d"), out_specs=P("d"),
+            check_rep=False,
+        )
+        got = np.asarray(sharded(pts))
+        ref, _, _, _ = sdf_hand_apply(
+            params, cfg._replace(flat_embedding=False), pts, bt_inv, t_pose
+        )
+        np.testing.assert_allclose(got, np.asarray(ref[:, 0]),
+                                   atol=2e-3, rtol=1e-3)
+
     def test_double_angle_recurrence_accuracy(self):
         """sin/cos(2^l x) via the doubling recurrence stays well inside
         bf16 feature precision across the hand PE range."""
