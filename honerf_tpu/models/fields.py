@@ -408,3 +408,57 @@ def sdf_hand_value_feat_grad(
     cot = jnp.zeros_like(out).at[..., 0].set(1.0)
     (grad,) = vjp(cot)
     return out[..., :1], out[..., 1:], xyz_feature, r, h, grad
+
+
+def sdf_hand_value_feat_grad_fused(
+    params: Params,
+    cfg: SDFConfig,
+    pts: jnp.ndarray,
+    bt_inv: jnp.ndarray,
+    t_pose_21: jnp.ndarray,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Differentiable FUSED fine pass (ops/fused_fine.py): embedding and
+    its pose coupling in XLA, the 9-layer trunk + d sdf/d embedding chain
+    in one Pallas op with a hand-written VJP that keeps activations in
+    VMEM (no transposed dW staging — the round-2 hand-step bottleneck).
+
+    Same return contract as sdf_hand_value_feat_grad; the spatial
+    gradient is grad = embedding_vjp(u) with u = d sdf / d e, so
+    se3_refine/bt_inv gradients (incl. second order through the
+    embedding Jacobian) remain exact XLA autodiff.  Gradients w.r.t. the
+    trunk weights — including the eikonal grad-of-grad second-order
+    terms — go through the kernel's manual VJP (validated <=1e-3 vs the
+    XLA path, tests/test_fused_fine.py)."""
+    from honerf_tpu.ops.fused_fine import TrunkMeta, hand_trunk_sdf_u
+    from honerf_tpu.ops.fused_hand import _assert_not_batched
+
+    _assert_not_batched(pts)
+    assert len(cfg.skip_in) == 1, "fused fine pass supports one skip"
+
+    def emb(p):
+        xyz_feature, r, h = hand_embedding_flat(
+            p, bt_inv, t_pose_21, cfg.v_multires, cfg.r_multires
+        )
+        return xyz_feature, (r, h)
+
+    e, emb_vjp, (r, h) = jax.vjp(emb, pts, has_aux=True)
+    layers = list(params["layers"])
+    layers[0] = _gather_cols(
+        layers[0], _cm_index(cfg.v_multires, cfg.r_multires, 0, 0)
+    )
+    s = cfg.skip_in[0]
+    layers[s] = _gather_cols(
+        layers[s], _cm_index(cfg.v_multires, cfg.r_multires, cfg.d_hidden, 0)
+    )
+    ws = tuple(linear_weight(l).T for l in layers)  # (in, out)
+    bs = tuple(l["b"] for l in layers)
+    meta = TrunkMeta(
+        emb_width=cfg.input_width, d_hidden=cfg.d_hidden,
+        n_layers=len(cfg.dims) - 1, skip=s, d_out=cfg.d_out,
+        dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
+    )
+    out, u = hand_trunk_sdf_u(e, ws, bs, meta, block, interpret)
+    (grad,) = emb_vjp(u)
+    return out[..., :1], out[..., 1:], e, r, h, grad

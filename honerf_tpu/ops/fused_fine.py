@@ -1,0 +1,533 @@
+"""Differentiable fused hand-SDF fine pass (Pallas, custom VJP).
+
+THE round-3 flagship-perf lever (VERDICT r2 #1).  The offline hand train
+step is DMA-layout-bound, not compute-bound: of the 34 ms bf16 step,
+>23 ms is XLA staging transposed activation operands for the backward
+weight-gradient matmuls dW = X^T dY (column-major (56448,256) bf16 tile
+reads at ~4-5 GB/s — scripts/profile_hand_step.py, BENCH_NOTES "Where
+the remaining hand step time goes").  The FLOP floor is ~5 ms.
+
+Design.  The differentiable fine pass needs (sdf, feat, spatial-grad) of
+the pose-conditioned hand SDF (reference utils/fields.py:132-177 with
+autograd double-backprop).  Split it as
+
+    e        = hand_embedding_flat(p, pose)            # XLA, elementwise
+    out, u   = hand_trunk_sdf_u(e, W)                  # THIS op (Pallas)
+    grad     = vjp(hand_embedding_flat, p)(u)          # XLA, elementwise
+
+where u = d sdf / d e (N, E).  Returning u instead of the spatial grad
+keeps ALL pose coupling (bt_inv -> se3_refine chains, and their
+second-order terms through the embedding Jacobian) in XLA's autodiff,
+which handles it exactly; the op itself is a straight-line program of
+matmuls whose hand-written VJP — including the second-order softplus
+terms the eikonal loss needs — keeps every activation in VMEM,
+eliminating the X^T staging entirely.
+
+Math (trunk: 9 weight-normed linear layers L0..L8, softplus beta=100
+after L0..L7, widen-input skip at l=4 scaled 1/sqrt2 —
+utils/fields.py:132-156):
+
+  forward:   in_l = concat(a_l, e)/sqrt2 at skip else a_l;
+             z_l = in_l @ W_l + b_l;  a_{l+1} = softplus(z_l) (l<8)
+  u-chain:   t_8 = onehot(sdf col); downward l=8..0:
+             m_l = t_l @ W_l^T; c_l = m_l (skip: m_4[:, :H]/sqrt2, and
+             e-part m_4[:, H:]/sqrt2 accumulates into u);
+             t_{l-1} = c_l * s_{l-1},  s_l = sigmoid(beta z_l);
+             u = e-part contributions + c_0
+  VJP (cotangents dout on z_8, du on u): transpose the chain upward then
+  the forward downward; the only second-order term is
+  sigma''(z) = beta s (1-s) entering dz_l = da_{l+1} s_l + ds_l beta
+  s_l (1-s_l).  Derivation in _trunk_sdf_u_ref / _trunk_sdf_u_bwd_ref —
+  the Pallas kernels implement the same statements blockwise.
+
+The pure-JAX reference implementations below are the testable spec
+(validated against jax.grad of the naive trunk); the Pallas kernels are
+bit-compatible with them up to bf16 matmul precision.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+BLOCK = 256
+BETA = 100.0
+INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class TrunkMeta(NamedTuple):
+    """Static trunk architecture (hashable jit static arg).
+
+    dtype: 'bf16' (fast mode; matmul operands bf16, f32 accumulation —
+    the same precision regime as the shipped XLA bf16 trunk, whose
+    beta=100 softplus amplifies activation rounding into the
+    second-order terms) or 'f32' (golden-parity / validation mode)."""
+
+    emb_width: int          # E (unpadded), e.g. 1386
+    d_hidden: int           # 256
+    n_layers: int           # number of linear layers, e.g. 9
+    skip: int               # skip layer index, e.g. 4
+    d_out: int              # 257
+    dtype: str = "bf16"
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference (the spec; CPU path and test oracle)
+# ---------------------------------------------------------------------------
+
+def _sp(z):
+    """softplus(beta z)/beta with the exact jax.nn.softplus numerics the
+    XLA trunk uses (models/mlp.py softplus_beta)."""
+    return jax.nn.softplus(BETA * z) / BETA
+
+
+def _trunk_forward_ref(e, ws, bs, meta: TrunkMeta):
+    """Returns (z_list, s_list, in_list, out).  s_l = sigmoid(beta z_l)."""
+    zs, ss, ins = [], [], []
+    a = e
+    for l in range(meta.n_layers):
+        x = (jnp.concatenate([a, e], axis=-1) * INV_SQRT2
+             if l == meta.skip else a)
+        ins.append(x)
+        z = x @ ws[l] + bs[l]
+        zs.append(z)
+        if l < meta.n_layers - 1:
+            ss.append(jax.nn.sigmoid(BETA * z))
+            a = _sp(z)
+    return zs, ss, ins, zs[-1]
+
+
+def _u_chain_ref(ws, ss, meta: TrunkMeta):
+    """Downward d sdf/d e chain.  Returns (u, t_list, c_list) where
+    t_list[l] / c_list[l] are the chain intermediates at layer l."""
+    H, E = meta.d_hidden, meta.emb_width
+    n = meta.n_layers
+    N = ss[0].shape[0]
+    t = jnp.zeros((N, meta.d_out)).at[:, 0].set(1.0)
+    ts = [None] * n
+    cs = [None] * n
+    u = jnp.zeros((N, E))
+    ts[n - 1] = t
+    for l in range(n - 1, -1, -1):
+        m = ts[l] @ ws[l].T
+        if l == meta.skip:
+            c = m[:, :H] * INV_SQRT2
+            u = u + m[:, H:] * INV_SQRT2
+        else:
+            c = m
+        cs[l] = c
+        if l > 0:
+            ts[l - 1] = c * ss[l - 1]
+        else:
+            u = u + c
+    return u, ts, cs
+
+
+def trunk_sdf_u_ref(e, ws, bs, meta: TrunkMeta):
+    """(N, E) -> (out (N, d_out), u (N, E) = d out[:,0] / d e)."""
+    zs, ss, ins, out = _trunk_forward_ref(e, ws, bs, meta)
+    u, _, _ = _u_chain_ref(ws, ss, meta)
+    return out, u
+
+
+def trunk_sdf_u_bwd_ref(e, ws, bs, meta: TrunkMeta, dout, du):
+    """Hand-transposed VJP of trunk_sdf_u_ref (the spec for the Pallas
+    backward kernel).  Returns (de, dws, dbs)."""
+    H, E = meta.d_hidden, meta.emb_width
+    n = meta.n_layers
+    zs, ss, ins, _ = _trunk_forward_ref(e, ws, bs, meta)
+    _, ts, cs = _u_chain_ref(ws, ss, meta)
+
+    dws = [jnp.zeros_like(w) for w in ws]
+    dbs = [jnp.zeros_like(b) for b in bs]
+    ds = [jnp.zeros_like(s) for s in ss]
+
+    # --- transpose of the u-chain (runs upward l=0..n-1) ---------------
+    dc_prev = du  # adjoint of c_0 (u += c_0)
+    for l in range(n):
+        if l > 0:
+            # primal: t_{l-1} = c_l * s_{l-1}; dt_{l-1} arrived as dt
+            dc = dt * ss[l - 1]
+            ds[l - 1] = ds[l - 1] + dt * cs[l]
+        else:
+            dc = dc_prev
+        if l == meta.skip:
+            dm = jnp.concatenate([dc * INV_SQRT2, du * INV_SQRT2], axis=-1)
+        else:
+            dm = dc
+        # primal: m_l = t_l @ W_l^T
+        dt = dm @ ws[l]
+        dws[l] = dws[l] + dm.T @ ts[l]  # (in, out) convention: see below
+        # m_{n,i} = sum_o t_{n,o} W_{i,o}  =>  dW_{i,o} += dm_{n,i} t_{n,o}
+    # dt at l = n-1 lands on the constant onehot — discarded.
+
+    # --- transpose of the forward (runs downward l=n-1..0) -------------
+    dz = dout
+    de = jnp.zeros_like(e)
+    for l in range(n - 1, -1, -1):
+        if l < n - 1:
+            # primal: a_{l+1} = softplus(z_l); s_l = sigmoid(beta z_l)
+            da = din_next if l + 1 != meta.skip else din_next[:, :H] * INV_SQRT2
+            if l + 1 == meta.skip:
+                de = de + din_next[:, H:] * INV_SQRT2
+            dz = da * ss[l] + ds[l] * BETA * ss[l] * (1.0 - ss[l])
+        dws[l] = dws[l] + ins[l].T @ dz
+        dbs[l] = dbs[l] + jnp.sum(dz, axis=0)
+        din_next = dz @ ws[l].T
+    # in_0 = e
+    de = de + din_next
+    return de, dws, dbs
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (blockwise implementation of the exact statements above;
+# bf16 matmul operands with f32 accumulation, activations live in VMEM)
+# ---------------------------------------------------------------------------
+
+def _dims(meta: TrunkMeta) -> Tuple[Tuple[int, int], ...]:
+    """(in, out) per layer, unpadded."""
+    out = []
+    for l in range(meta.n_layers):
+        d_in = meta.emb_width if l == 0 else meta.d_hidden
+        if l == meta.skip:
+            d_in = meta.d_hidden + meta.emb_width
+        d_out = meta.d_out if l == meta.n_layers - 1 else meta.d_hidden
+        out.append((d_in, d_out))
+    return tuple(out)
+
+
+def _pad_weights(ws, bs, meta: TrunkMeta):
+    """Zero-pad (in, out) to lane multiples; bf16 weights, f32 row biases.
+
+    The skip layer is padded STRUCTURED so its rows line up with the
+    kernel's concat(a_pad (B, Hp), e_pad (B, Ep)): hidden rows at
+    [0, Hp), embedding rows at [Hp, Hp + Ep) — zero rows everywhere the
+    padded activations carry junk/zeros."""
+    H, E = meta.d_hidden, meta.emb_width
+    Hp, Ep = _round_up(H, _LANE), _round_up(E, _LANE)
+    wps, bps = [], []
+    for l, ((d_in, d_out), w, b) in enumerate(zip(_dims(meta), ws, bs)):
+        op = _round_up(d_out, _LANE)
+        if l == meta.skip:
+            wp = jnp.zeros((Hp + Ep, op), w.dtype)
+            wp = wp.at[:H, :d_out].set(w[:H])
+            wp = wp.at[Hp:Hp + E, :d_out].set(w[H:])
+        else:
+            ip = _round_up(d_in, _LANE)
+            wp = jnp.pad(w, ((0, ip - d_in), (0, op - d_out)))
+        wps.append(wp.astype(_cast(meta)))
+        bps.append(jnp.pad(b, (0, op - d_out)).astype(jnp.float32)[None, :])
+    return tuple(wps), tuple(bps)
+
+
+def _cast(meta: TrunkMeta):
+    return jnp.bfloat16 if meta.dtype == "bf16" else jnp.float32
+
+
+def _mm(meta, x, w):
+    """(B, in) @ (in, out) -> (B, out) f32 accumulation on the MXU."""
+    c = _cast(meta)
+    return jax.lax.dot_general(
+        x.astype(c), w.astype(c),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_t(meta, x, w):
+    """(B, out) @ (in, out)^T -> (B, in): contract both minor dims."""
+    c = _cast(meta)
+    return jax.lax.dot_general(
+        x.astype(c), w.astype(c),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_tn(meta, x, y):
+    """(B, in)^T @ (B, out) -> (in, out): contract the point axis."""
+    c = _cast(meta)
+    return jax.lax.dot_general(
+        x.astype(c), y.astype(c),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _softplus_beta(z):
+    """softplus(beta z)/beta, overflow-safe: logaddexp(bz, 0)/b."""
+    return jnp.logaddexp(BETA * z, 0.0) / BETA
+
+
+def _kernel_fwd_body(meta: TrunkMeta, e, ws, bs):
+    """Shared forward + u-chain on one block (values stay in VMEM).
+    Returns (out, u, ss, ins_small) — the latter two for the bwd kernel."""
+    n, H = meta.n_layers, meta.d_hidden
+    Ep = e.shape[1]
+    Hp = _round_up(H, _LANE)
+    a = e
+    ss: List[Any] = []
+    ins: List[Any] = []
+    z_last = None
+    for l in range(n):
+        x = (jnp.concatenate([a, e], axis=-1) * INV_SQRT2
+             if l == meta.skip else a)
+        ins.append(x)
+        z = _mm(meta, x, ws[l]) + bs[l][0, :]
+        if l < n - 1:
+            s = jax.nn.sigmoid(BETA * z)
+            ss.append(s)
+            a = _softplus_beta(z).astype(_cast(meta))
+        else:
+            z_last = z
+    # u-chain downward (t_{n-1} = onehot sdf column)
+    out_p = z_last.shape[1]
+    t = (jax.lax.broadcasted_iota(jnp.int32, (e.shape[0], out_p), 1)
+         == 0).astype(jnp.float32)
+    ts: List[Any] = [None] * n
+    cs: List[Any] = [None] * n
+    ts[n - 1] = t
+    u = jnp.zeros((e.shape[0], Ep), jnp.float32)
+    for l in range(n - 1, -1, -1):
+        m = _mm_t(meta, ts[l], ws[l])
+        if l == meta.skip:
+            c = m[:, :Hp] * INV_SQRT2
+            u = u + m[:, Hp:] * INV_SQRT2
+        else:
+            c = m
+        cs[l] = c
+        if l > 0:
+            ts[l - 1] = c * ss[l - 1]
+        else:
+            u = u + c
+    return z_last, u, ss, ins, ts, cs
+
+
+def _make_fwd_kernel(meta: TrunkMeta):
+    n = meta.n_layers
+
+    def kernel(e_ref, *refs):
+        ws = refs[:n]
+        bs = refs[n:2 * n]
+        out_ref, u_ref = refs[2 * n], refs[2 * n + 1]
+        e = e_ref[:]
+        out, u, _, _, _, _ = _kernel_fwd_body(
+            meta, e, [w[:] for w in ws], [b[:] for b in bs])
+        out_ref[:] = out
+        u_ref[:] = u
+
+    return kernel
+
+
+def _make_bwd_kernel(meta: TrunkMeta):
+    n, H = meta.n_layers, meta.d_hidden
+    Hp = _round_up(H, _LANE)
+
+    def kernel(e_ref, dout_ref, du_ref, *refs):
+        ws = [r[:] for r in refs[:n]]
+        bs = [r[:] for r in refs[n:2 * n]]
+        de_ref = refs[2 * n]
+        dw_refs = refs[2 * n + 1:3 * n + 1]
+        db_refs = refs[3 * n + 1:4 * n + 1]
+        first = pl.program_id(0) == 0
+
+        e = e_ref[:]
+        du = du_ref[:]
+        _, _, ss, ins, ts, cs = _kernel_fwd_body(meta, e, ws, bs)
+
+        dws = [None] * n
+        dbs = [None] * n
+        ds = [None] * (n - 1)
+
+        # ---- transpose of the u-chain (upward l=0..n-1) ----------------
+        dt = None
+        for l in range(n):
+            if l > 0:
+                dc = dt * ss[l - 1]
+                prev = ds[l - 1]
+                ds[l - 1] = (dt * cs[l] if prev is None
+                             else prev + dt * cs[l])
+            else:
+                dc = du
+            if l == meta.skip:
+                dm = jnp.concatenate(
+                    [dc * INV_SQRT2, du * INV_SQRT2], axis=-1)
+            else:
+                dm = dc
+            dt = _mm(meta, dm, ws[l])
+            # m = t @ W^T  =>  dW_{i,o} += sum_n dm_{n,i} t_{n,o}
+            dws[l] = _mm_tn(meta, dm, ts[l])
+        # ---- transpose of the forward (downward l=n-1..0) --------------
+        dz = dout_ref[:]
+        de = jnp.zeros_like(e, jnp.float32)
+        din_next = None
+        for l in range(n - 1, -1, -1):
+            if l < n - 1:
+                if l + 1 == meta.skip:
+                    da = din_next[:, :Hp] * INV_SQRT2
+                    de = de + din_next[:, Hp:] * INV_SQRT2
+                else:
+                    da = din_next
+                sig = ss[l]
+                dz = da * sig + ds[l] * (BETA * sig * (1.0 - sig))
+            dws[l] = dws[l] + _mm_tn(meta, ins[l], dz)
+            dbs[l] = jnp.sum(dz, axis=0, keepdims=True)
+            din_next = _mm_t(meta, dz, ws[l])
+        de = de + din_next
+        de_ref[:] = de
+
+        for l in range(n):
+            @pl.when(first)
+            def _(l=l):
+                dw_refs[l][:] = dws[l]
+                db_refs[l][:] = dbs[l]
+
+            @pl.when(jnp.logical_not(first))
+            def _(l=l):
+                dw_refs[l][:] += dws[l]
+                db_refs[l][:] += dbs[l]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _row_spec(block, width):
+    return pl.BlockSpec((block, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
+def _fwd_call(e, wps, bps, meta: TrunkMeta, block: int, interpret: bool):
+    N, Ep = e.shape
+    op = _round_up(meta.d_out, _LANE)
+    flops = 4 * N * sum(w.shape[0] * w.shape[1] for w in wps)
+    out, u = pl.pallas_call(
+        _make_fwd_kernel(meta),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, op), jnp.float32),
+            jax.ShapeDtypeStruct((N, Ep), jnp.float32),
+        ),
+        grid=(N // block,),
+        in_specs=([_row_spec(block, Ep)]
+                  + [_const_spec(w.shape) for w in wps]
+                  + [_const_spec(b.shape) for b in bps]),
+        out_specs=(_row_spec(block, op), _row_spec(block, Ep)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=N * (2 * Ep + op) * 4,
+            transcendentals=N * meta.d_hidden * (meta.n_layers - 1),
+        ),
+        interpret=interpret,
+    )(e, *wps, *bps)
+    return out, u
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
+def _bwd_call(e, dout, du, wps, bps, meta: TrunkMeta, block: int,
+              interpret: bool):
+    N, Ep = e.shape
+    op = _round_up(meta.d_out, _LANE)
+    flops = 12 * N * sum(w.shape[0] * w.shape[1] for w in wps)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((N, Ep), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
+    )
+    out_specs = (
+        [_row_spec(block, Ep)]
+        + [_const_spec(w.shape) for w in wps]
+        + [_const_spec(b.shape) for b in bps]
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(meta),
+        out_shape=tuple(out_shapes),
+        grid=(N // block,),
+        in_specs=([_row_spec(block, Ep), _row_spec(block, op),
+                   _row_spec(block, Ep)]
+                  + [_const_spec(w.shape) for w in wps]
+                  + [_const_spec(b.shape) for b in bps]),
+        out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=N * (3 * Ep + op) * 4,
+            transcendentals=N * meta.d_hidden * (meta.n_layers - 1),
+        ),
+        interpret=interpret,
+    )(e, dout, du, *wps, *bps)
+    n = meta.n_layers
+    de = outs[0]
+    dws = outs[1:1 + n]
+    dbs = outs[1 + n:1 + 2 * n]
+    return de, tuple(dws), tuple(dbs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def hand_trunk_sdf_u(e, ws, bs, meta: TrunkMeta, block: int = BLOCK,
+                     interpret: bool = False):
+    """Differentiable fused trunk: (e (N,E) f32, f32 weights/biases) ->
+    (out (N, d_out), u (N, E) = d out[:,0]/d e).
+
+    bf16 matmul operands / f32 accumulation inside (the TPU executes f32
+    matmuls as bf16 passes anyway); the hand-written VJP rematerializes
+    activations per block in VMEM — no transposed HBM staging."""
+    out, u = _fwd_pad_call(e, ws, bs, meta, block, interpret)
+    return out, u
+
+
+def _fwd_pad_call(e, ws, bs, meta, block, interpret):
+    N, E = e.shape
+    Ep = _round_up(E, _LANE)
+    Np = _round_up(max(N, block), block)
+    e_p = jnp.pad(e, ((0, Np - N), (0, Ep - E))).astype(_cast(meta))
+    wps, bps = _pad_weights(ws, bs, meta)
+    out, u = _fwd_call(e_p, wps, bps, meta, block, interpret)
+    return out[:N, :meta.d_out], u[:N, :E]
+
+
+def _vjp_fwd(e, ws, bs, meta, block, interpret):
+    out, u = _fwd_pad_call(e, ws, bs, meta, block, interpret)
+    return (out, u), (e, ws, bs)
+
+
+def _vjp_bwd(meta, block, interpret, res, cts):
+    e, ws, bs = res
+    dout, du = cts
+    N, E = e.shape
+    Ep = _round_up(E, _LANE)
+    op = _round_up(meta.d_out, _LANE)
+    Np = _round_up(max(N, block), block)
+    e_p = jnp.pad(e, ((0, Np - N), (0, Ep - E))).astype(_cast(meta))
+    dout_p = jnp.pad(dout, ((0, Np - N), (0, op - meta.d_out))
+                     ).astype(jnp.float32)
+    du_p = jnp.pad(du, ((0, Np - N), (0, Ep - E))).astype(jnp.float32)
+    wps, bps = _pad_weights(ws, bs, meta)
+    de, dws, dbs = _bwd_call(e_p, dout_p, du_p, wps, bps, meta, block,
+                             interpret)
+    de = de[:N, :E]
+    dims = _dims(meta)
+    H = meta.d_hidden
+    Hp = _round_up(H, _LANE)
+    out_dws = []
+    for l, (dw, (d_in, d_out)) in enumerate(zip(dws, dims)):
+        if l == meta.skip:  # structured padding: hidden rows then e rows
+            dw = jnp.concatenate([dw[:H], dw[Hp:Hp + E]], axis=0)
+        out_dws.append(dw[:d_in, :d_out])
+    dbs = tuple(db[0, :d_out] for db, (_d, d_out) in zip(dbs, dims))
+    return de, tuple(out_dws), dbs
+
+
+hand_trunk_sdf_u.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,12 +1,17 @@
 """bf16-trunk fast-mode quality check on a synthetic scene.
 
-Trains the full reference architecture for 1200 steps twice (f32 trunk vs
+Trains the full reference architecture twice (f32 trunk vs
 model.*.trunk_dtype=bf16) on the same synthetic dataset and compares the
-PSNR trajectory — the acceptance gate for the bf16 fast mode.  For the
-hand model the bf16 run also exercises the fused Pallas up-sample ladder
-(ops/fused_hand.py), so this gates both together.
+PSNR trajectory AND the extracted-mesh chamfer distance against the
+ANALYTIC ground truth (r=0.12 sphere / r=0.012 capsule-skeleton hand) —
+the acceptance gate for the bf16 fast mode (VERDICT r2 #5 long-horizon
+form).  For the hand model the bf16 run also exercises the fused Pallas
+up-sample ladder and (round 3) the differentiable fused fine pass, so
+this gates all of them together.
 
-Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_obj_bf16.py [obj|hand]
+Run: env PYTHONPATH=/root/repo:/root/.axon_site \\
+       python scripts/quality_obj_bf16.py [obj|hand] [steps]
+(default 1200 steps; the long-horizon gate uses >= 10000)
 """
 
 import json
@@ -30,6 +35,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_runner_e2e import CONF  # same full-architecture conf template
 
 STEPS = 1200
+
+
+def mesh_chamfer(runner, model_type: str, data_dir: str) -> dict:
+    """Symmetric chamfer (mm) between the extracted zero-level mesh and
+    the analytic GT surface the synthetic dataset rendered."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from honerf_tpu.data.synthetic import _segment_distances, icosphere
+    from honerf_tpu.extract import bounds_from_points, extract_geometry
+
+    params = runner.state["params"]
+    if model_type == "hand":
+        from honerf_tpu.data.datasets import BONE_CHILDREN, BONE_FATHERS
+        from honerf_tpu.hand import bone_transforms_from_mano_joints
+        from honerf_tpu.ops.fused_hand import best_hand_sdf_fn
+
+        with open(os.path.join(data_dir, "mppose_3d", "0.pickle"), "rb") as f:
+            joints = pickle.load(f)
+        bt_inv = bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+        t_pose = jnp.asarray(runner.train_scene.t_pose_21)
+        sdf_fn = best_hand_sdf_fn(params["sdf"], runner.sdf_cfg, bt_inv, t_pose)
+        lo, hi = bounds_from_points(joints, 0.1)
+        a, b = joints[BONE_FATHERS], joints[BONE_CHILDREN]
+
+        def gt_dist(pts):
+            return np.abs(
+                _segment_distances(pts, a, b).min(axis=-1) - 0.012)
+
+        # GT surface samples: capsule axis points pushed to the surface
+        tt = np.linspace(0, 1, 24)[:, None, None]
+        axis_pts = (a[None] * (1 - tt) + b[None] * tt).reshape(-1, 3)
+        dirs = np.random.default_rng(0).normal(size=axis_pts.shape)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        gt_surface = axis_pts + 0.012 * dirs
+        # rejection: keep only points ON the union surface
+        keep = _segment_distances(gt_surface, a, b).min(axis=-1) > 0.0115
+        gt_surface = gt_surface[keep]
+    else:
+        from honerf_tpu.ops.fused_sdf import best_obj_sdf_fn
+
+        sdf_fn = best_obj_sdf_fn(params["sdf"], runner.sdf_cfg)
+        lo, hi = np.full(3, -0.2), np.full(3, 0.2)
+
+        def gt_dist(pts):
+            return np.abs(np.linalg.norm(pts, axis=-1) - 0.12)
+
+        gt_surface, _ = icosphere(0.12, subdiv=3)
+    verts, _tris = extract_geometry(sdf_fn, lo, hi, 192, 0.0)
+    if len(verts) == 0:
+        return {"chamfer_mm": float("inf")}
+    from scipy.spatial import cKDTree
+
+    acc = float(np.mean(gt_dist(verts)))           # mesh -> GT surface
+    comp = float(np.mean(cKDTree(verts).query(gt_surface)[0]))
+    return {
+        "mesh_acc_mm": round(acc * 1000, 3),
+        "mesh_comp_mm": round(comp * 1000, 3),
+        "chamfer_mm": round((acc + comp) * 1000, 3),
+        "n_verts": int(len(verts)),
+    }
 
 
 def run(trunk: str, model_type: str = "obj") -> dict:
@@ -64,20 +131,30 @@ def run(trunk: str, model_type: str = "obj") -> dict:
     out = {
         "model": model_type,
         "trunk": trunk,
+        "steps": STEPS,
         "wall_s": round(dt, 1),
         "psnr_first100": round(float(np.mean(
             [r["psnr"] for r in recs[:100]])), 2),
+        "psnr_mid100": round(float(np.mean(
+            [r["psnr"] for r in recs[len(recs) // 2:len(recs) // 2 + 100]])), 2),
         "psnr_last100": round(float(np.mean(
             [r["psnr"] for r in recs[-100:]])), 2),
         "loss_last100": round(float(np.mean(
             [r["loss"] for r in recs[-100:]])), 4),
     }
+    try:
+        out.update(mesh_chamfer(runner, model_type, data_dir))
+    except Exception as exc:  # record, don't lose the PSNR gate
+        out["chamfer_error"] = repr(exc)
     shutil.rmtree(root, ignore_errors=True)
     return out
 
 
 def main() -> None:
+    global STEPS
     model_type = sys.argv[1] if len(sys.argv) > 1 else "obj"
+    if len(sys.argv) > 2:
+        STEPS = int(sys.argv[2])
     for trunk in ("f32", "bf16"):
         print(json.dumps(run(trunk, model_type)), flush=True)
 
