@@ -418,20 +418,27 @@ def sdf_hand_value_feat_grad_fused(
     t_pose_21: jnp.ndarray,
     block: int = 256,
     interpret: bool = False,
+    impl: str = "pallas",
 ):
-    """Differentiable FUSED fine pass (ops/fused_fine.py): embedding and
-    its pose coupling in XLA, the 9-layer trunk + d sdf/d embedding chain
-    in one Pallas op with a hand-written VJP that keeps activations in
-    VMEM (no transposed dW staging — the round-2 hand-step bottleneck).
+    """Differentiable DECOMPOSED fine pass (ops/fused_fine.py): embedding
+    and its pose coupling in XLA; the 9-layer trunk + d sdf/d embedding
+    chain as an explicit program with the spatial gradient reassembled
+    as grad = embedding_vjp(u), u = d sdf/d e — so se3_refine/bt_inv
+    gradients (incl. second order through the embedding Jacobian) remain
+    exact XLA autodiff.
 
-    Same return contract as sdf_hand_value_feat_grad; the spatial
-    gradient is grad = embedding_vjp(u) with u = d sdf / d e, so
-    se3_refine/bt_inv gradients (incl. second order through the
-    embedding Jacobian) remain exact XLA autodiff.  Gradients w.r.t. the
-    trunk weights — including the eikonal grad-of-grad second-order
-    terms — go through the kernel's manual VJP (validated <=1e-3 vs the
-    XLA path, tests/test_fused_fine.py)."""
-    from honerf_tpu.ops.fused_fine import TrunkMeta, hand_trunk_sdf_u
+    impl='pallas': the trunk+chain run as one custom-VJP Pallas op whose
+    hand-written backward (incl. the eikonal grad-of-grad second-order
+    softplus terms) keeps activations in VMEM (validated <=1e-3 vs the
+    XLA path, tests/test_fused_fine.py).
+    impl='xla': the same explicit decomposition lowered by XLA autodiff
+    — the restructure alone avoids the nested-vjp program whose dW
+    staging dominated the round-2 hand step."""
+    from honerf_tpu.ops.fused_fine import (
+        TrunkMeta,
+        hand_trunk_sdf_u,
+        trunk_sdf_u_ref,
+    )
     from honerf_tpu.ops.fused_hand import _assert_not_batched
 
     _assert_not_batched(pts)
@@ -459,6 +466,55 @@ def sdf_hand_value_feat_grad_fused(
         n_layers=len(cfg.dims) - 1, skip=s, d_out=cfg.d_out,
         dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
     )
-    out, u = hand_trunk_sdf_u(e, ws, bs, meta, block, interpret)
+    if impl == "xla":
+        cast = jnp.bfloat16 if meta.dtype == "bf16" else jnp.float32
+        out, u = trunk_sdf_u_ref(
+            e, [w.astype(cast) for w in ws], list(bs), meta
+        )
+    else:
+        out, u = hand_trunk_sdf_u(e, ws, bs, meta, block, interpret)
     (grad,) = emb_vjp(u)
     return out[..., :1], out[..., 1:], e, r, h, grad
+
+
+def sdf_hand_value_feat_grad_full(
+    params: Params,
+    cfg: SDFConfig,
+    pts: jnp.ndarray,
+    bt_inv: jnp.ndarray,
+    t_pose_21: jnp.ndarray,
+    block: int = 128,
+    interpret: bool = False,
+):
+    """FULLY-fused fine pass (ops/fused_fine_full.py): embedding + trunk
+    + spatial gradient in one custom-VJP Pallas op, pose gradients via
+    the differentiable (rotT, off) operands (pack_hand_pose stays XLA).
+
+    Returns (sdf, feat, xyz_feature, r, h, grad) like
+    sdf_hand_value_feat_grad — r and h are None (the reference color
+    forward accepts but never uses them, utils/fields.py:222)."""
+    from honerf_tpu.ops.fused_fine_full import FineMeta, hand_fine_full
+    from honerf_tpu.ops.fused_hand import _assert_not_batched, pack_hand_pose
+
+    _assert_not_batched(pts)
+    assert len(cfg.skip_in) == 1, "fused fine pass supports one skip"
+    rotT, off, _cut = pack_hand_pose(bt_inv, t_pose_21)
+    layers = list(params["layers"])
+    layers[0] = _gather_cols(
+        layers[0], _cm_index(cfg.v_multires, cfg.r_multires, 0, 0)
+    )
+    s = cfg.skip_in[0]
+    layers[s] = _gather_cols(
+        layers[s], _cm_index(cfg.v_multires, cfg.r_multires, cfg.d_hidden, 0)
+    )
+    ws = tuple(linear_weight(l).T for l in layers)
+    bs = tuple(l["b"] for l in layers)
+    meta = FineMeta(
+        v_multires=cfg.v_multires, r_multires=cfg.r_multires,
+        d_hidden=cfg.d_hidden, n_layers=len(cfg.dims) - 1, skip=s,
+        d_out=cfg.d_out,
+        dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
+    )
+    out, grad, e = hand_fine_full(pts, rotT, off, ws, bs, meta, block,
+                                  interpret)
+    return out[..., :1], out[..., 1:], e, None, None, grad

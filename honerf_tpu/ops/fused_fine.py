@@ -94,18 +94,22 @@ def _sp(z):
 
 
 def _trunk_forward_ref(e, ws, bs, meta: TrunkMeta):
-    """Returns (z_list, s_list, in_list, out).  s_l = sigmoid(beta z_l)."""
+    """Returns (z_list, s_list, in_list, out).  s_l = sigmoid(beta z_l).
+    Under meta.dtype='bf16' the matmul operands are cast like the Pallas
+    kernel (and the shipped bf16 XLA trunk) so this doubles as the fast
+    decomposed XLA path; 'f32' is the exact test oracle."""
     zs, ss, ins = [], [], []
-    a = e
+    a = e.astype(_cast(meta)) if meta.dtype == "bf16" else e
+    e_in = a
     for l in range(meta.n_layers):
-        x = (jnp.concatenate([a, e], axis=-1) * INV_SQRT2
-             if l == meta.skip else a)
+        x = (jnp.concatenate([a, e_in], axis=-1) * jnp.asarray(
+            INV_SQRT2, a.dtype) if l == meta.skip else a)
         ins.append(x)
-        z = x @ ws[l] + bs[l]
+        z = _mm(meta, x, ws[l]) + bs[l]
         zs.append(z)
         if l < meta.n_layers - 1:
             ss.append(jax.nn.sigmoid(BETA * z))
-            a = _sp(z)
+            a = _sp(z).astype(_cast(meta))
     return zs, ss, ins, zs[-1]
 
 
@@ -121,7 +125,7 @@ def _u_chain_ref(ws, ss, meta: TrunkMeta):
     u = jnp.zeros((N, E))
     ts[n - 1] = t
     for l in range(n - 1, -1, -1):
-        m = ts[l] @ ws[l].T
+        m = _mm_t(meta, ts[l], ws[l])
         if l == meta.skip:
             c = m[:, :H] * INV_SQRT2
             u = u + m[:, H:] * INV_SQRT2
@@ -328,9 +332,63 @@ def _make_fwd_kernel(meta: TrunkMeta):
     return kernel
 
 
-def _make_bwd_kernel(meta: TrunkMeta):
+def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None):
+    """Transposed trunk statements for one block: (de, dws, dbs).
+
+    Shared by the trunk-only bwd kernel and the fully-fused op
+    (fused_fine_full.py).  `fwd` optionally carries a precomputed
+    (ss, ins, ts, cs) from _kernel_fwd_body to avoid recomputing."""
     n, H = meta.n_layers, meta.d_hidden
     Hp = _round_up(H, _LANE)
+    if fwd is None:
+        _, _, ss, ins, ts, cs = _kernel_fwd_body(meta, e, ws, bs)
+    else:
+        ss, ins, ts, cs = fwd
+
+    dws = [None] * n
+    dbs = [None] * n
+    ds = [None] * (n - 1)
+
+    # ---- transpose of the u-chain (upward l=0..n-1) --------------------
+    dt = None
+    for l in range(n):
+        if l > 0:
+            dc = dt * ss[l - 1]
+            prev = ds[l - 1]
+            ds[l - 1] = (dt * cs[l] if prev is None
+                         else prev + dt * cs[l])
+        else:
+            dc = du
+        if l == meta.skip:
+            dm = jnp.concatenate(
+                [dc * INV_SQRT2, du * INV_SQRT2], axis=-1)
+        else:
+            dm = dc
+        dt = _mm(meta, dm, ws[l])
+        # m = t @ W^T  =>  dW_{i,o} += sum_n dm_{n,i} t_{n,o}
+        dws[l] = _mm_tn(meta, dm, ts[l])
+    # ---- transpose of the forward (downward l=n-1..0) ------------------
+    dz = dout
+    de = jnp.zeros(e.shape, jnp.float32)
+    din_next = None
+    for l in range(n - 1, -1, -1):
+        if l < n - 1:
+            if l + 1 == meta.skip:
+                da = din_next[:, :Hp] * INV_SQRT2
+                de = de + din_next[:, Hp:] * INV_SQRT2
+            else:
+                da = din_next
+            sig = ss[l]
+            dz = da * sig + ds[l] * (BETA * sig * (1.0 - sig))
+        dws[l] = dws[l] + _mm_tn(meta, ins[l], dz)
+        dbs[l] = jnp.sum(dz, axis=0, keepdims=True)
+        din_next = _mm_t(meta, dz, ws[l])
+    de = de + din_next
+    return de, dws, dbs
+
+
+def _make_bwd_kernel(meta: TrunkMeta):
+    n = meta.n_layers
 
     def kernel(e_ref, dout_ref, du_ref, *refs):
         ws = [r[:] for r in refs[:n]]
@@ -340,49 +398,8 @@ def _make_bwd_kernel(meta: TrunkMeta):
         db_refs = refs[3 * n + 1:4 * n + 1]
         first = pl.program_id(0) == 0
 
-        e = e_ref[:]
-        du = du_ref[:]
-        _, _, ss, ins, ts, cs = _kernel_fwd_body(meta, e, ws, bs)
-
-        dws = [None] * n
-        dbs = [None] * n
-        ds = [None] * (n - 1)
-
-        # ---- transpose of the u-chain (upward l=0..n-1) ----------------
-        dt = None
-        for l in range(n):
-            if l > 0:
-                dc = dt * ss[l - 1]
-                prev = ds[l - 1]
-                ds[l - 1] = (dt * cs[l] if prev is None
-                             else prev + dt * cs[l])
-            else:
-                dc = du
-            if l == meta.skip:
-                dm = jnp.concatenate(
-                    [dc * INV_SQRT2, du * INV_SQRT2], axis=-1)
-            else:
-                dm = dc
-            dt = _mm(meta, dm, ws[l])
-            # m = t @ W^T  =>  dW_{i,o} += sum_n dm_{n,i} t_{n,o}
-            dws[l] = _mm_tn(meta, dm, ts[l])
-        # ---- transpose of the forward (downward l=n-1..0) --------------
-        dz = dout_ref[:]
-        de = jnp.zeros_like(e, jnp.float32)
-        din_next = None
-        for l in range(n - 1, -1, -1):
-            if l < n - 1:
-                if l + 1 == meta.skip:
-                    da = din_next[:, :Hp] * INV_SQRT2
-                    de = de + din_next[:, Hp:] * INV_SQRT2
-                else:
-                    da = din_next
-                sig = ss[l]
-                dz = da * sig + ds[l] * (BETA * sig * (1.0 - sig))
-            dws[l] = dws[l] + _mm_tn(meta, ins[l], dz)
-            dbs[l] = jnp.sum(dz, axis=0, keepdims=True)
-            din_next = _mm_t(meta, dz, ws[l])
-        de = de + din_next
+        de, dws, dbs = _trunk_bwd_block(
+            meta, e_ref[:], dout_ref[:], du_ref[:], ws, bs)
         de_ref[:] = de
 
         for l in range(n):
@@ -507,6 +524,11 @@ def _vjp_bwd(meta, block, interpret, res, cts):
     e, ws, bs = res
     dout, du = cts
     N, E = e.shape
+    # The bwd kernel holds ~2x the forward's live VMEM per block (primal
+    # recompute + chain + both transposes + f32 dW accumulators): at the
+    # full architecture block=256 blew the 16M scoped-vmem limit by ~5M
+    # (measured on v5e), block=128 fits.
+    block = max(_LANE // 2, block // 2)
     Ep = _round_up(E, _LANE)
     op = _round_up(meta.d_out, _LANE)
     Np = _round_up(max(N, block), block)

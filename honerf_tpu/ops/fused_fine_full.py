@@ -1,0 +1,629 @@
+"""FULLY-fused differentiable hand fine pass: embedding + trunk +
+spatial gradient in ONE custom-VJP Pallas op.
+
+Round-3 profiling showed the partially-fused trunk op (fused_fine.py)
+loses its kernel win to integration overhead: with the embedding left in
+XLA, the program materializes dozens of (N, 21/63/256/1386)-wide
+intermediates in HBM (embedding fwd, its vjp for the spatial grad, the
+second-order embedding backward, the e/u operands of the trunk op), and
+the step is slower than the XLA baseline.  The fix is to move the WHOLE
+differentiable fine pass into the kernel:
+
+    (pts, rotT, off, W) -> (out257, g, e)
+       out  = trunk(e(pts; pose))          sdf + 256 features
+       g    = d sdf / d pts                the NeuS/eikonal spatial grad
+       e    = the 1386-ch channel-major embedding (for the color net)
+
+computed per point block entirely in VMEM:
+
+  fwd  = embedding stages -> trunk forward -> u-chain (u = d sdf/d e)
+         -> embedding REVERSE chain with cotangent u  =>  g
+  bwd  (cotangents dout, dg, de_ext) =
+         R-TRANSPOSE of the reverse chain (yields the u-cotangent du and
+         second-order stage adjoints)
+         -> the existing trunk backward (fused_fine._make_bwd-style
+            statements) with du
+         -> embedding-FORWARD transpose (merges trunk de, external de,
+            and the R stage adjoints) => dq_total
+         -> dp = dq @ rotT^T;  drotT += p^T dq (+ the direct tangent
+            row term t^T f from the R-transpose);  doff += sum dq
+
+Pose gradients (se3_refine through bt_inv) flow through the small
+differentiable (rotT, off) operands — pack_hand_pose stays XLA autodiff.
+All statements exist first as pure-jnp block bodies (shared by the
+kernels and the CPU tests) and are validated stage-by-stage against
+jax autodiff; the integrated op is validated against the XLA
+sdf_hand_value_feat_grad path at <=1e-3 in f32 mode.
+
+Reference workload: utils/fields.py:132-177 (forward + autograd
+double-backprop), utils/renderer.py:107-177 (fine pass consumer).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from honerf_tpu.models.embedding import BONE_CUTOFFS, CUTOFF_TAU
+from honerf_tpu.ops import fused_fine as FT  # trunk machinery
+from honerf_tpu.ops.fused_hand import pack_hand_pose, _sel_matrices
+
+_LANE = 128
+INV_SQRT2 = FT.INV_SQRT2
+BETA = FT.BETA
+EPS_V2 = 1e-24  # matches hand_embedding_flat's v2 epsilon
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class FineMeta(NamedTuple):
+    """Static architecture of the fused fine pass (hashable)."""
+
+    v_multires: int         # 10
+    r_multires: int         # 7
+    d_hidden: int           # 256
+    n_layers: int           # 9 linear layers
+    skip: int               # 4
+    d_out: int              # 257
+    dtype: str = "bf16"     # 'bf16' fast / 'f32' validation
+
+    @property
+    def emb_width(self) -> int:
+        return 21 * (1 + 2 * self.v_multires) + 63 * (1 + 2 * self.r_multires)
+
+    @property
+    def trunk_meta(self) -> FT.TrunkMeta:
+        return FT.TrunkMeta(
+            emb_width=self.emb_width, d_hidden=self.d_hidden,
+            n_layers=self.n_layers, skip=self.skip, d_out=self.d_out,
+            dtype=self.dtype,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Embedding block bodies (padded (B, 128) stage shapes; pure jnp — run
+# identically inside the kernel and in CPU tests)
+# ---------------------------------------------------------------------------
+
+def _emb_fwd_block(p8, rotT, off, cut, meta: FineMeta):
+    """Embedding stages for one block.
+
+    Args:
+        p8: (B, 8) points padded to 8 cols.
+        rotT: (8, 128) — rows 0-2 hold [R_0^T .. R_20^T] (63 cols).
+        off: (1, 128) — trans - t_pose flattened (63 cols).
+        cut: (1, 128) — per-bone cutoffs (21 cols).
+    Returns:
+        dict of stage values; e is the (B, E) channel-major embedding.
+    """
+    vL, rL = meta.v_multires, meta.r_multires
+    S, ST = _sel_matrices()
+    q = jnp.dot(p8, rotT, preferred_element_type=jnp.float32) + off[0, :]
+    v2p = jnp.dot(q * q, S, preferred_element_type=jnp.float32) + EPS_V2
+    v = jnp.sqrt(v2p)                       # (B, 128; 21 real)
+    sc = jax.nn.sigmoid(CUTOFF_TAU * (v - cut[0, :]))
+    h = 1.0 - sc
+    vrep = jnp.dot(v2p, ST, preferred_element_type=jnp.float32)
+    w3 = jax.lax.rsqrt(vrep + EPS_V2)       # (B, 128; 63 real)
+    rr = q * w3
+    h3 = jnp.dot(h, ST, preferred_element_type=jnp.float32)
+    # PE values via the double-angle recurrence (f32 — the bf16 cast
+    # happens only on the e pieces, so stage values reused by the
+    # derivative chains stay accurate)
+    sv, cv = [], []
+    s, c = jnp.sin(v), jnp.cos(v)
+    for l in range(vL):
+        if l:
+            s, c = 2.0 * s * c, (c - s) * (c + s)
+        sv.append(s)
+        cv.append(c)
+    sr, cr = [], []
+    s, c = jnp.sin(rr), jnp.cos(rr)
+    for l in range(rL):
+        if l:
+            s, c = 2.0 * s * c, (c - s) * (c + s)
+        sr.append(s)
+        cr.append(c)
+    v21, h21 = v[:, :21], h[:, :21]
+    r63, h63 = rr[:, :63], h3[:, :63]
+    pieces = [v21 * h21]
+    pieces += [sv[l][:, :21] * h21 for l in range(vL)]
+    pieces += [cv[l][:, :21] * h21 for l in range(vL)]
+    pieces += [r63 * h63]
+    pieces += [sr[l][:, :63] * h63 for l in range(rL)]
+    pieces += [cr[l][:, :63] * h63 for l in range(rL)]
+    e = jnp.concatenate(pieces, axis=-1)    # (B, E) channel-major
+    return dict(q=q, v2p=v2p, v=v, sc=sc, h=h, w3=w3, rr=rr, h3=h3,
+                sv=sv, cv=cv, sr=sr, cr=cr, e=e)
+
+
+def _split_u(u, meta: FineMeta):
+    """Split a (B, E) embedding-cotangent into the per-piece views,
+    zero-padded back to 128 lanes (kernel-friendly)."""
+    vL, rL = meta.v_multires, meta.r_multires
+    pos = 0
+    out = []
+    widths = [21] * (1 + 2 * vL) + [63] * (1 + 2 * rL)
+    for wdt in widths:
+        piece = u[:, pos:pos + wdt]
+        out.append(jnp.pad(piece, ((0, 0), (0, _LANE - wdt))))
+        pos += wdt
+    u_vh = out[0]
+    u_sv = out[1:1 + vL]
+    u_cv = out[1 + vL:1 + 2 * vL]
+    u_rh = out[1 + 2 * vL]
+    u_sr = out[2 + 2 * vL:2 + 2 * vL + rL]
+    u_cr = out[2 + 2 * vL + rL:]
+    return u_vh, u_sv, u_cv, u_rh, u_sr, u_cr
+
+
+def _emb_rev_block(st, rotT, u, meta: FineMeta):
+    """REVERSE chain: cotangent u on e -> g = (d e/d pts)^T u  (B, 8).
+
+    Also returns the chain intermediates needed by the transpose."""
+    vL, rL = meta.v_multires, meta.r_multires
+    S, ST = _sel_matrices()
+    u_vh, u_sv, u_cv, u_rh, u_sr, u_cr = _split_u(u, meta)
+    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
+    h, v, rr, h3 = st["h"], st["v"], st["rr"], st["h3"]
+    # R1/R2: v-piece adjoints
+    phi_v = u_vh + sum((2.0 ** l) * (cv[l] * u_sv[l] - sv[l] * u_cv[l])
+                       for l in range(vL))
+    a_v = h * phi_v                                        # dbar v  (21)
+    b_h = v * u_vh + sum(sv[l] * u_sv[l] + cv[l] * u_cv[l]
+                         for l in range(vL))               # dbar h
+    # R3/R4: r-piece adjoints
+    phi_r = u_rh + sum((2.0 ** l) * (cr[l] * u_sr[l] - sr[l] * u_cr[l])
+                       for l in range(rL))
+    c_rr = h3 * phi_r                                      # dbar rr (63)
+    d_h3 = rr * u_rh + sum(sr[l] * u_sr[l] + cr[l] * u_cr[l]
+                           for l in range(rL))             # dbar h3
+    # R5
+    b_h = b_h + jnp.dot(d_h3, S, preferred_element_type=jnp.float32)
+    # R6/R7
+    f_q = c_rr * st["w3"]
+    m_vrep = -0.5 * c_rr * st["q"] * st["w3"] ** 3
+    # R8
+    n_v2p = jnp.dot(m_vrep, S, preferred_element_type=jnp.float32)
+    # R9
+    a_v = a_v - CUTOFF_TAU * st["sc"] * (1.0 - st["sc"]) * b_h
+    # R10
+    n_v2p = n_v2p + 0.5 * a_v / v
+    # R11
+    f_q = f_q + 2.0 * st["q"] * jnp.dot(
+        n_v2p, ST, preferred_element_type=jnp.float32)
+    # R12: g = f_q @ rotT^T (rows 0-2 real)
+    g8 = jnp.dot(f_q, rotT.T, preferred_element_type=jnp.float32)
+    chain = dict(phi_v=phi_v, a_v=a_v, b_h=b_h, phi_r=phi_r, c_rr=c_rr,
+                 d_h3=d_h3, f_q=f_q, m_vrep=m_vrep, n_v2p=n_v2p)
+    return g8, chain
+
+
+def _emb_rev_transpose_block(st, ch, rotT, u, t8, meta: FineMeta):
+    """Transpose of the reverse chain w.r.t. (u, stages, rotT) at
+    cotangent t on g.
+
+    Args:
+        st: forward stages; ch: reverse-chain intermediates; u: the
+        primal u; t8: (B, 8) cotangent of g (3 real cols).
+    Returns:
+        du (B, E), stage-adjoint dict (seeds for the fwd transpose),
+        drotT_partial (8, 128) from the direct g = f @ rotT^T term.
+    """
+    vL, rL = meta.v_multires, meta.r_multires
+    S, ST = _sel_matrices()
+    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
+    h, v, rr, h3, q, sc, w3 = (st["h"], st["v"], st["rr"], st["h3"],
+                               st["q"], st["sc"], st["w3"])
+    u_vh, u_sv, u_cv, u_rh, u_sr, u_cr = _split_u(u, meta)
+
+    # T12: g = f @ rotT^T
+    cf = jnp.dot(t8, rotT, preferred_element_type=jnp.float32)  # chat(f)
+    drotT = jnp.dot(t8.T, ch["f_q"],
+                    preferred_element_type=jnp.float32)  # (8, 128)
+    # T11: f += 2 q * (n @ ST)
+    n_rep = jnp.dot(ch["n_v2p"], ST, preferred_element_type=jnp.float32)
+    cn = jnp.dot(2.0 * q * cf, S, preferred_element_type=jnp.float32)
+    dq = 2.0 * n_rep * cf
+    # T10: n += 0.5 a / v
+    ca = 0.5 * cn / v
+    dv = -0.5 * ch["a_v"] / (v * v) * cn
+    # T9: a += -tau sc (1 - sc) b
+    cb = -CUTOFF_TAU * sc * (1.0 - sc) * ca
+    dsc = -CUTOFF_TAU * (1.0 - 2.0 * sc) * ch["b_h"] * ca
+    # T8: n = m @ S
+    cm = jnp.dot(cn, ST, preferred_element_type=jnp.float32)
+    # T7: m = -0.5 c q w3^3
+    cc = -0.5 * q * w3 ** 3 * cm
+    dq = dq - 0.5 * ch["c_rr"] * w3 ** 3 * cm
+    dw3 = -1.5 * ch["c_rr"] * q * w3 ** 2 * cm
+    # T6: f = c * w3  (the R6 contribution to f)
+    cc = cc + w3 * cf
+    dw3 = dw3 + ch["c_rr"] * cf
+    # T5: b += d @ S
+    cd = jnp.dot(cb, ST, preferred_element_type=jnp.float32)
+    # T4: d = rr u_rh + sum(sr u_sr + cr u_cr)
+    cu_rh = rr * cd
+    drr = u_rh * cd
+    dsr = [u_sr[l] * cd for l in range(rL)]
+    dcr = [u_cr[l] * cd for l in range(rL)]
+    cu_sr = [sr[l] * cd for l in range(rL)]
+    cu_cr = [cr[l] * cd for l in range(rL)]
+    # T3: c = h3 * phi_r
+    dh3 = ch["phi_r"] * cc
+    hc = h3 * cc
+    cu_rh = cu_rh + hc
+    for l in range(rL):
+        f = 2.0 ** l
+        cu_sr[l] = cu_sr[l] + f * cr[l] * hc
+        cu_cr[l] = cu_cr[l] - f * sr[l] * hc
+        dcr[l] = dcr[l] + f * u_sr[l] * hc
+        dsr[l] = dsr[l] - f * u_cr[l] * hc
+    # T2: b(part) = v u_vh + sum(sv u_sv + cv u_cv)
+    cu_vh = v * cb
+    dv = dv + u_vh * cb
+    dsv = [u_sv[l] * cb for l in range(vL)]
+    dcv = [u_cv[l] * cb for l in range(vL)]
+    cu_sv = [sv[l] * cb for l in range(vL)]
+    cu_cv = [cv[l] * cb for l in range(vL)]
+    # T1: a(part) = h * phi_v
+    dh = ch["phi_v"] * ca
+    hca = h * ca
+    cu_vh = cu_vh + hca
+    for l in range(vL):
+        f = 2.0 ** l
+        cu_sv[l] = cu_sv[l] + f * cv[l] * hca
+        cu_cv[l] = cu_cv[l] - f * sv[l] * hca
+        dcv[l] = dcv[l] + f * u_sv[l] * hca
+        dsv[l] = dsv[l] - f * u_cv[l] * hca
+
+    du = jnp.concatenate(
+        [cu_vh[:, :21]] + [x[:, :21] for x in cu_sv]
+        + [x[:, :21] for x in cu_cv] + [cu_rh[:, :63]]
+        + [x[:, :63] for x in cu_sr] + [x[:, :63] for x in cu_cr],
+        axis=-1,
+    )
+    adj = dict(dq=dq, dv=dv, dsc=dsc, dw3=dw3, drr=drr, dh=dh, dh3=dh3,
+               dsv=dsv, dcv=dcv, dsr=dsr, dcr=dcr)
+    return du, adj, drotT
+
+
+def _emb_fwd_transpose_block(st, de, adj, cut, meta: FineMeta):
+    """Transpose of the embedding FORWARD at cotangents de (on e) merged
+    with the R-transpose stage adjoints.  Returns dq_total (B, 128) — the
+    complete adjoint of q — from which dp / drotT / doff follow."""
+    vL, rL = meta.v_multires, meta.r_multires
+    S, ST = _sel_matrices()
+    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
+    h, v, rr, h3, q, sc, w3 = (st["h"], st["v"], st["rr"], st["h3"],
+                               st["q"], st["sc"], st["w3"])
+    e_vh, e_sv, e_cv, e_rh, e_sr, e_cr = _split_u(de, meta)
+
+    # e pieces: p = X * gate  (X in {v, sv_l, cv_l}, gate = h; r-family
+    # gate = h3).  Merge with the R-transpose adjoints on the same vars.
+    dv = adj["dv"] + h * e_vh
+    dh = adj["dh"] + v * e_vh
+    dsv = [adj["dsv"][l] + h * e_sv[l] for l in range(vL)]
+    dcv = [adj["dcv"][l] + h * e_cv[l] for l in range(vL)]
+    dh = dh + sum(sv[l] * e_sv[l] + cv[l] * e_cv[l] for l in range(vL))
+    drr = adj["drr"] + h3 * e_rh
+    dh3 = adj["dh3"] + rr * e_rh
+    dsr = [adj["dsr"][l] + h3 * e_sr[l] for l in range(rL)]
+    dcr = [adj["dcr"][l] + h3 * e_cr[l] for l in range(rL)]
+    dh3 = dh3 + sum(sr[l] * e_sr[l] + cr[l] * e_cr[l] for l in range(rL))
+
+    # PE transposes: sin/cos(2^l x) chains — accumulate d/dx directly
+    # (d sv_l/d v = 2^l cv_l; d cv_l/d v = -2^l sv_l; same for r)
+    for l in range(vL):
+        f = 2.0 ** l
+        dv = dv + f * (cv[l] * dsv[l] - sv[l] * dcv[l])
+    for l in range(rL):
+        f = 2.0 ** l
+        drr = drr + f * (cr[l] * dsr[l] - sr[l] * dcr[l])
+
+    # h3 = h @ ST
+    dh = dh + jnp.dot(dh3, S, preferred_element_type=jnp.float32)
+    # rr = q * w3
+    dq = adj["dq"] + w3 * drr
+    dw3 = adj["dw3"] + q * drr
+    # w3 = rsqrt(vrep + eps); vrep = v2p @ ST
+    dvrep = -0.5 * w3 ** 3 * dw3
+    dv2p = jnp.dot(dvrep, S, preferred_element_type=jnp.float32)
+    # h = 1 - sc; sc = sigmoid(tau (v - cut))
+    dsc = adj["dsc"] - dh
+    dv = dv + CUTOFF_TAU * sc * (1.0 - sc) * dsc
+    # v = sqrt(v2p)
+    dv2p = dv2p + 0.5 * dv / v
+    # v2p = (q*q) @ S + eps
+    dq = dq + 2.0 * q * jnp.dot(dv2p, ST,
+                                preferred_element_type=jnp.float32)
+    return dq
+
+
+# ---------------------------------------------------------------------------
+# Integrated block bodies (shared by kernels and CPU tests)
+# ---------------------------------------------------------------------------
+
+def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
+                    with_residuals: bool = False):
+    """One block of the fully-fused forward.
+
+    Returns (out (B, OUTp) f32, g8 (B, 8) f32, e (B, Ep)) and, with
+    with_residuals, the stage/chain/trunk intermediates the backward
+    reuses."""
+    tm = meta.trunk_meta
+    E = meta.emb_width
+    Ep = _round_up(E, _LANE)
+    st = _emb_fwd_block(p8, rotT, off, cut, meta)
+    e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
+    out, u_pad, ss, ins, ts, cs = FT._kernel_fwd_body(
+        tm, e_pad, list(ws), list(bs))
+    u = u_pad[:, :E]
+    g8, chain = _emb_rev_block(st, rotT, u, meta)
+    if with_residuals:
+        return out, g8, e_pad, (st, u, chain, (ss, ins, ts, cs))
+    return out, g8, e_pad
+
+
+def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
+                    dout, dg8, de_ext):
+    """One block of the fully-fused backward.
+
+    Cotangents: dout on out (B, OUTp), dg8 on g (B, 8; 3 real),
+    de_ext on the e output (B, Ep).
+    Returns (dp8, dws, dbs, drotT_blk (8, 128), doff_blk (1, 128))."""
+    tm = meta.trunk_meta
+    E = meta.emb_width
+    out, g8, e_pad, (st, u, chain, trunk_fwd) = _fine_fwd_block(
+        meta, p8, rotT, off, cut, ws, bs, with_residuals=True)
+    # 1. transpose of the reverse chain at cotangent dg
+    du, adj, drotT_direct = _emb_rev_transpose_block(
+        st, chain, rotT, u, dg8, meta)
+    # 2. trunk backward with cotangents (dout, du)
+    du_pad = jnp.pad(du, ((0, 0), (0, e_pad.shape[1] - E)))
+    de_trunk, dws, dbs = FT._trunk_bwd_block(
+        tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd)
+    # 3. embedding-forward transpose: trunk de + external de + R adjoints
+    de_total = (de_trunk + de_ext.astype(jnp.float32))[:, :E]
+    dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
+    # 4. pose / point adjoints
+    dp8 = jnp.dot(dq, rotT.T, preferred_element_type=jnp.float32)
+    drotT_blk = drotT_direct + jnp.dot(
+        p8.T, dq, preferred_element_type=jnp.float32)
+    doff_blk = jnp.sum(dq, axis=0, keepdims=True)
+    return dp8, dws, dbs, drotT_blk, doff_blk
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(meta: FineMeta):
+    n = meta.n_layers
+
+    def kernel(p_ref, rotT_ref, off_ref, cut_ref, *refs):
+        ws = [r[:] for r in refs[:n]]
+        bs = [r[:] for r in refs[n:2 * n]]
+        out_ref, g_ref, e_ref = refs[2 * n], refs[2 * n + 1], refs[2 * n + 2]
+        out, g8, e_pad = _fine_fwd_block(
+            meta, p_ref[:], rotT_ref[:], off_ref[:], cut_ref[:], ws, bs)
+        out_ref[:] = out
+        g_ref[:] = jnp.pad(g8, ((0, 0), (0, _LANE - g8.shape[1])))
+        e_ref[:] = e_pad.astype(e_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(meta: FineMeta):
+    n = meta.n_layers
+
+    def kernel(p_ref, dout_ref, dg_ref, de_ref, rotT_ref, off_ref,
+               cut_ref, *refs):
+        ws = [r[:] for r in refs[:n]]
+        bs = [r[:] for r in refs[n:2 * n]]
+        dp_ref = refs[2 * n]
+        dw_refs = refs[2 * n + 1:3 * n + 1]
+        db_refs = refs[3 * n + 1:4 * n + 1]
+        drotT_ref = refs[4 * n + 1]
+        doff_ref = refs[4 * n + 2]
+        first = pl.program_id(0) == 0
+
+        dp8, dws, dbs, drotT_blk, doff_blk = _fine_bwd_block(
+            meta, p_ref[:], rotT_ref[:], off_ref[:], cut_ref[:], ws, bs,
+            dout_ref[:], dg_ref[:, :8], de_ref[:])
+        dp_ref[:] = jnp.pad(dp8, ((0, 0), (0, _LANE - dp8.shape[1])))
+
+        @pl.when(first)
+        def _():
+            drotT_ref[:] = drotT_blk
+            doff_ref[:] = doff_blk
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            drotT_ref[:] += drotT_blk
+            doff_ref[:] += doff_blk
+
+        for l in range(n):
+            @pl.when(first)
+            def _(l=l):
+                dw_refs[l][:] = dws[l]
+                db_refs[l][:] = dbs[l]
+
+            @pl.when(jnp.logical_not(first))
+            def _(l=l):
+                dw_refs[l][:] += dws[l]
+                db_refs[l][:] += dbs[l]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+def _const(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _rows(block, width):
+    return pl.BlockSpec((block, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
+def _fwd_call(p8, rotT, off, cut, wps, bps, meta: FineMeta, block, interpret):
+    N = p8.shape[0]
+    Ep = _round_up(meta.emb_width, _LANE)
+    op = _round_up(meta.d_out, _LANE)
+    e_dtype = jnp.bfloat16 if meta.dtype == "bf16" else jnp.float32
+    flops = 4 * N * sum(w.shape[0] * w.shape[1] for w in wps)
+    return pl.pallas_call(
+        _make_fwd_kernel(meta),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, op), jnp.float32),
+            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((N, Ep), e_dtype),
+        ),
+        grid=(N // block,),
+        in_specs=([_rows(block, 8), _const(rotT.shape), _const(off.shape),
+                   _const(cut.shape)]
+                  + [_const(w.shape) for w in wps]
+                  + [_const(b.shape) for b in bps]),
+        out_specs=(_rows(block, op), _rows(block, _LANE),
+                   _rows(block, Ep)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=N * (Ep + op + _LANE) * 4,
+            transcendentals=N * (meta.d_hidden * (meta.n_layers - 1)
+                                 + 2 * 84 + 21),
+        ),
+        interpret=interpret,
+    )(p8, rotT, off, cut, *wps, *bps)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
+def _bwd_call(p8, dout, dg, de, rotT, off, cut, wps, bps, meta: FineMeta,
+              block, interpret):
+    N = p8.shape[0]
+    Ep = _round_up(meta.emb_width, _LANE)
+    flops = 12 * N * sum(w.shape[0] * w.shape[1] for w in wps)
+    n = meta.n_layers
+    out_shapes = (
+        [jax.ShapeDtypeStruct((N, _LANE), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
+        + [jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
+           jax.ShapeDtypeStruct(off.shape, jnp.float32)]
+    )
+    out_specs = (
+        [_rows(block, _LANE)]
+        + [_const(w.shape) for w in wps]
+        + [_const(b.shape) for b in bps]
+        + [_const(rotT.shape), _const(off.shape)]
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(meta),
+        out_shape=tuple(out_shapes),
+        grid=(N // block,),
+        in_specs=([_rows(block, 8),
+                   _rows(block, _round_up(meta.d_out, _LANE)),
+                   _rows(block, _LANE), _rows(block, Ep),
+                   _const(rotT.shape), _const(off.shape),
+                   _const(cut.shape)]
+                  + [_const(w.shape) for w in wps]
+                  + [_const(b.shape) for b in bps]),
+        out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=N * (2 * Ep + _LANE) * 4,
+            transcendentals=2 * N * (meta.d_hidden * (meta.n_layers - 1)
+                                     + 2 * 84 + 21),
+        ),
+        interpret=interpret,
+    )(p8, dout, dg, de, rotT, off, cut, *wps, *bps)
+    dp = outs[0]
+    dws = outs[1:1 + n]
+    dbs = outs[1 + n:1 + 2 * n]
+    drotT, doff = outs[1 + 2 * n], outs[2 + 2 * n]
+    return dp, tuple(dws), tuple(dbs), drotT, doff
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def hand_fine_full(pts, rotT, off, ws, bs, meta: FineMeta,
+                   block: int = 128, interpret: bool = False):
+    """Fully-fused differentiable fine pass.
+
+    Args:
+        pts: (N, 3) world-space query points.
+        rotT, off: pose operands from ops.fused_hand.pack_hand_pose
+            (differentiable — pack stays in XLA so bt_inv/se3 gradients
+            flow through its autodiff).
+        ws, bs: materialized (in, out) f32 trunk weights / biases
+            (weight-norm materialization stays in XLA).
+    Returns:
+        (out (N, d_out), g (N, 3) spatial sdf gradient, e (N, E)
+        channel-major embedding for the color net).
+    """
+    out, g, e, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta, block,
+                                  interpret)
+    return out, g, e
+
+
+def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret):
+    N = pts.shape[0]
+    Np = _round_up(max(N, block), block)
+    p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
+    cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
+    wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
+    out, g, e = _fwd_call(p8, rotT.astype(jnp.float32),
+                          off.astype(jnp.float32), cut, wps, bps, meta,
+                          block, interpret)
+    E = meta.emb_width
+    return (out[:N, :meta.d_out], g[:N, :3],
+            e[:N, :E].astype(jnp.float32), cut)
+
+
+def _vjp_fwd(pts, rotT, off, ws, bs, meta, block, interpret):
+    out, g, e, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta, block,
+                                  interpret)
+    return (out, g, e), (pts, rotT, off, ws, bs)
+
+
+def _vjp_bwd(meta, block, interpret, res, cts):
+    pts, rotT, off, ws, bs = res
+    dout, dg, de = cts
+    N = pts.shape[0]
+    E = meta.emb_width
+    Ep = _round_up(E, _LANE)
+    op = _round_up(meta.d_out, _LANE)
+    Np = _round_up(max(N, block), block)
+    p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
+    cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
+    dout_p = jnp.pad(dout.astype(jnp.float32),
+                     ((0, Np - N), (0, op - meta.d_out)))
+    dg_p = jnp.pad(dg.astype(jnp.float32), ((0, Np - N), (0, _LANE - 3)))
+    de_p = jnp.pad(de.astype(jnp.float32), ((0, Np - N), (0, Ep - E)))
+    wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
+    dp, dws, dbs, drotT, doff = _bwd_call(
+        p8, dout_p, dg_p, de_p, rotT.astype(jnp.float32),
+        off.astype(jnp.float32), cut, wps, bps, meta, block, interpret)
+    dims = FT._dims(meta.trunk_meta)
+    H = meta.d_hidden
+    Hp = _round_up(H, _LANE)
+    out_dws = []
+    for l, (dw, (d_in, d_out)) in enumerate(zip(dws, dims)):
+        if l == meta.skip:
+            dw = jnp.concatenate([dw[:H], dw[Hp:Hp + E]], axis=0)
+        out_dws.append(dw[:d_in, :d_out])
+    out_dbs = tuple(db[0, :d_out] for db, (_d, d_out) in zip(dbs, dims))
+    return (dp[:N, :3], drotT, doff, tuple(out_dws), out_dbs)
+
+
+hand_fine_full.defvjp(_vjp_fwd, _vjp_bwd)

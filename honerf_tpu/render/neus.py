@@ -135,19 +135,37 @@ def make_hand_field(
             return out[..., 0]
 
     if fused_fine:
-        # Differentiable fused fine pass (ops/fused_fine.py): same
-        # hardware gate as the ladder — raises on unsupported configs.
-        from honerf_tpu.ops.fused_hand import assert_fused_ladder_ok
+        # Differentiable decomposed fine pass.  fused_fine='xla' uses
+        # the explicit-chain XLA lowering (fused_fine.py — no Pallas,
+        # runs anywhere); 'pallas' the custom-VJP trunk kernel;
+        # True/'full' the FULLY-fused op (fused_fine_full.py: embedding
+        # + trunk + spatial grad in one kernel).  The Pallas variants
+        # carry the same hardware gate as the ladder.
+        impl = fused_fine if isinstance(fused_fine, str) else "full"
+        if impl != "xla":
+            from honerf_tpu.ops.fused_hand import assert_fused_ladder_ok
 
-        assert_fused_ladder_ok(interpret)
+            assert_fused_ladder_ok(interpret)
 
         def full_fn(pts, dirs):
-            sdf, feat, xyz_feature, r, h, grad = (
-                sdf_hand_value_feat_grad_fused(
-                    params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
-                    interpret=interpret,
+            if impl == "full":
+                from honerf_tpu.models.fields import (
+                    sdf_hand_value_feat_grad_full,
                 )
-            )
+
+                sdf, feat, xyz_feature, r, h, grad = (
+                    sdf_hand_value_feat_grad_full(
+                        params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
+                        interpret=interpret,
+                    )
+                )
+            else:
+                sdf, feat, xyz_feature, r, h, grad = (
+                    sdf_hand_value_feat_grad_fused(
+                        params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
+                        interpret=interpret, impl=impl,
+                    )
+                )
             color = color_hand_apply(
                 params["color"], color_cfg, xyz_feature, feat, grad
             )

@@ -54,10 +54,11 @@ class TrainHyper(NamedTuple):
     # on one TPU chip), True = force on, False = force off (debug /
     # quality comparison).  `train.fused_ladder` conf key.
     fused_ladder: Optional[bool] = None
-    # Differentiable fused fine pass (ops/fused_fine.py, custom-VJP
-    # Pallas trunk): same tri-state; auto = on when trunk_dtype == 'bf16'
-    # on one TPU chip.  `train.fused_fine` conf key.
-    fused_fine: Optional[bool] = None
+    # Differentiable decomposed fine pass (ops/fused_fine.py): None =
+    # auto (on when trunk_dtype == 'bf16'), True/'pallas' = custom-VJP
+    # Pallas trunk (single TPU chip), 'xla' = explicit-chain XLA lowering
+    # (safe everywhere), False = off.  `train.fused_fine` conf key.
+    fused_fine: Any = None
     # Render the ray axis in lax.map chunks of this size when batch_size
     # exceeds it (0 = off).  Workaround for a tunneled-backend miscompile
     # at ray counts >~1.7k (see BENCH_NOTES.md "Known issues"): the
@@ -89,9 +90,9 @@ class TrainHyper(NamedTuple):
                 else bool(conf.get("train.fused_ladder"))
             ),
             fused_fine=(
-                None if conf.get("train.fused_fine", None) is None
-                else bool(conf.get("train.fused_fine"))
-            ),
+                lambda v: None if v is None
+                else (v if isinstance(v, str) else bool(v))
+            )(conf.get("train.fused_fine", None)),
             ray_chunk=int(conf.get("train.ray_chunk", 0)),
         )
 
@@ -319,10 +320,17 @@ def hand_render_from_batch(
     use_fused = single_tpu and (
         want if want is not None else sdf_cfg.trunk_dtype == "bf16"
     )
-    use_fine = single_tpu and (
-        tcfg.fused_fine if tcfg.fused_fine is not None
-        else sdf_cfg.trunk_dtype == "bf16"
-    )
+    want_fine = tcfg.fused_fine
+    if want_fine is None:  # auto in bf16 mode: fully-fused on one chip
+        want_fine = (sdf_cfg.trunk_dtype == "bf16") and "full"
+    if want_fine == "xla":
+        use_fine = "xla"  # pure XLA — safe on any backend/mesh
+    elif want_fine in (True, "full"):
+        use_fine = single_tpu and "full"
+    elif want_fine == "pallas":
+        use_fine = single_tpu and "pallas"
+    else:
+        use_fine = False
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
         fused_ladder=use_fused, fused_fine=use_fine,

@@ -68,26 +68,28 @@ def main():
     batch = _hand_batch(441)
     print(f"backend={jax.default_backend()} trunk={trunk}", flush=True)
 
+    modes = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "off", "xla", "pallas"]
     results = {}
-    for fine in (False, True):
+    for mode in modes:
+        fine = False if mode == "off" else mode
         tcfg = TrainHyper(batch_size=441, vgg_weight=0.0, fused_fine=fine)
         state = init_train_state(params, tcfg)
         step = jax.jit(make_hand_train_step(sdf_cfg, color_cfg, rcfg, tcfg))
         t0 = time.perf_counter()
         dt, first, final, state = bench_step(step, state, batch)
         print(
-            f"fused_fine={fine}: {dt*1e3:.2f} ms/step -> {441/dt:.0f} "
+            f"fused_fine={mode}: {dt*1e3:.2f} ms/step -> {441/dt:.0f} "
             f"rays/s (warm loss {first:.4f} -> {final:.4f}; total incl "
             f"compile {time.perf_counter()-t0:.0f}s)",
             flush=True,
         )
         assert np.isfinite(final), "non-finite loss"
-        results[fine] = dt
-    print(
-        f"speedup: {results[False]/results[True]:.2f}x "
-        f"({results[False]*1e3:.1f} -> {results[True]*1e3:.1f} ms)",
-        flush=True,
-    )
+        results[mode] = dt
+    if "off" in results:
+        for mode, dt in results.items():
+            if mode != "off":
+                print(f"{mode}: {results['off']/dt:.2f}x vs off", flush=True)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ from honerf_tpu.ops.fused_fine import (
 )
 
 META = TrunkMeta(emb_width=30, d_hidden=16, n_layers=5, skip=2, d_out=17)
+META_F32 = META._replace(dtype="f32")
 
 
 def _rand_weights(meta: TrunkMeta, seed=0):
@@ -47,16 +48,16 @@ def _naive_trunk(e, ws, bs, meta):
 
 
 def test_forward_and_u_match_autodiff():
-    ws, bs = _rand_weights(META)
+    ws, bs = _rand_weights(META_F32)
     rng = np.random.default_rng(1)
     e = jnp.asarray(rng.normal(size=(13, META.emb_width)).astype(np.float32))
-    out, u = trunk_sdf_u_ref(e, ws, bs, META)
-    want_out = _naive_trunk(e, ws, bs, META)
+    out, u = trunk_sdf_u_ref(e, ws, bs, META_F32)
+    want_out = _naive_trunk(e, ws, bs, META_F32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
                                atol=1e-5, rtol=1e-5)
     # u = d out[:, 0] / d e via autodiff
     want_u = jax.vmap(jax.grad(
-        lambda ei: _naive_trunk(ei[None], ws, bs, META)[0, 0]
+        lambda ei: _naive_trunk(ei[None], ws, bs, META_F32)[0, 0]
     ))(e)
     np.testing.assert_allclose(np.asarray(u), np.asarray(want_u),
                                atol=1e-4, rtol=1e-4)
@@ -65,7 +66,7 @@ def test_forward_and_u_match_autodiff():
 def test_bwd_matches_autodiff():
     """The hand-transposed VJP (incl. the second-order softplus'' term)
     == jax.grad of a scalarized (out, u) objective."""
-    ws, bs = _rand_weights(META, seed=2)
+    ws, bs = _rand_weights(META_F32, seed=2)
     rng = np.random.default_rng(3)
     N = 9
     e = jnp.asarray(rng.normal(size=(N, META.emb_width)).astype(np.float32))
@@ -75,13 +76,13 @@ def test_bwd_matches_autodiff():
         rng.normal(size=(N, META.emb_width)).astype(np.float32))
 
     def objective(e_, ws_, bs_):
-        out, u = trunk_sdf_u_ref(e_, ws_, bs_, META)
+        out, u = trunk_sdf_u_ref(e_, ws_, bs_, META_F32)
         return jnp.sum(out * dout) + jnp.sum(u * du)
 
     want_de, want_dws, want_dbs = jax.grad(objective, argnums=(0, 1, 2))(
         e, ws, bs)
     got_de, got_dws, got_dbs = trunk_sdf_u_bwd_ref(
-        e, ws, bs, META, dout, du)
+        e, ws, bs, META_F32, dout, du)
     np.testing.assert_allclose(np.asarray(got_de), np.asarray(want_de),
                                atol=2e-4, rtol=2e-4)
     for l, (g, w) in enumerate(zip(got_dws, want_dws)):
