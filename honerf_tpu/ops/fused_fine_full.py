@@ -546,6 +546,13 @@ def _bwd_call(p8, dout, dg, de, rotT, off, cut, wps, bps, meta: FineMeta,
             transcendentals=2 * N * (meta.d_hidden * (meta.n_layers - 1)
                                      + 2 * 84 + 21),
         ),
+        # the block holds embedding stages + trunk activations + chain
+        # values + f32 dW/pose accumulators: 23.2M at block=128 on v5e —
+        # above the compiler's default 16M scoped-vmem limit, well under
+        # physical VMEM; raise the cap instead of shrinking the block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(p8, dout, dg, de, rotT, off, cut, *wps, *bps)
     dp = outs[0]
