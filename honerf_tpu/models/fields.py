@@ -416,7 +416,7 @@ def sdf_hand_value_feat_grad_fused(
     pts: jnp.ndarray,
     bt_inv: jnp.ndarray,
     t_pose_21: jnp.ndarray,
-    block: int = 256,
+    block: int = 128,
     interpret: bool = False,
     impl: str = "pallas",
 ):
@@ -499,6 +499,19 @@ def sdf_hand_value_feat_grad_full(
     _assert_not_batched(pts)
     assert len(cfg.skip_in) == 1, "fused fine pass supports one skip"
     rotT, off, _cut = pack_hand_pose(bt_inv, t_pose_21)
+    ws, bs = _fine_trunk_weights(params, cfg)
+    meta = FineMeta(
+        v_multires=cfg.v_multires, r_multires=cfg.r_multires,
+        d_hidden=cfg.d_hidden, n_layers=len(cfg.dims) - 1,
+        skip=cfg.skip_in[0], d_out=cfg.d_out,
+        dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
+    )
+    out, grad, e = hand_fine_full(pts, rotT, off, ws, bs, meta, block,
+                                  interpret)
+    return out[..., :1], out[..., 1:], e, None, None, grad
+
+
+def _fine_trunk_weights(params: Params, cfg: SDFConfig):
     layers = list(params["layers"])
     layers[0] = _gather_cols(
         layers[0], _cm_index(cfg.v_multires, cfg.r_multires, 0, 0)
@@ -509,12 +522,68 @@ def sdf_hand_value_feat_grad_full(
     )
     ws = tuple(linear_weight(l).T for l in layers)
     bs = tuple(l["b"] for l in layers)
-    meta = FineMeta(
-        v_multires=cfg.v_multires, r_multires=cfg.r_multires,
-        d_hidden=cfg.d_hidden, n_layers=len(cfg.dims) - 1, skip=s,
-        d_out=cfg.d_out,
-        dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
+    return ws, bs
+
+
+def hand_fine_color_apply(
+    params: Params,
+    sdf_cfg: SDFConfig,
+    color_cfg: ColorConfig,
+    pts: jnp.ndarray,
+    bt_inv: jnp.ndarray,
+    t_pose_21: jnp.ndarray,
+    block: int = 128,
+    interpret: bool = False,
+):
+    """(sdf, grad, color) via the COLOR-fused fine pass
+    (ops/fused_fine_full.hand_fine_color): embedding, trunk, spatial
+    gradient AND the 4x256 color net in one kernel — the embedding and
+    features never touch HBM.  params = {'sdf': .., 'color': ..}."""
+    from honerf_tpu.ops.fused_fine_full import (
+        FineMeta,
+        color_row_map,
+        hand_fine_color,
     )
-    out, grad, e = hand_fine_full(pts, rotT, off, ws, bs, meta, block,
-                                  interpret)
-    return out[..., :1], out[..., 1:], e, None, None, grad
+    from honerf_tpu.ops.fused_hand import _assert_not_batched, pack_hand_pose
+
+    _assert_not_batched(pts)
+    assert len(sdf_cfg.skip_in) == 1
+    assert color_cfg.use_gradients and color_cfg.squeeze_out
+    rotT, off, _cut = pack_hand_pose(bt_inv, t_pose_21)
+    ws, bs = _fine_trunk_weights(params["sdf"], sdf_cfg)
+    meta = FineMeta(
+        v_multires=sdf_cfg.v_multires, r_multires=sdf_cfg.r_multires,
+        d_hidden=sdf_cfg.d_hidden, n_layers=len(sdf_cfg.dims) - 1,
+        skip=sdf_cfg.skip_in[0], d_out=sdf_cfg.d_out,
+        dtype="bf16" if sdf_cfg.trunk_dtype == "bf16" else "f32",
+        with_color=True, c_hidden=color_cfg.d_hidden,
+        c_layers=len(color_cfg.dims) - 1,
+        grad_L=color_cfg.grad_multires,
+    )
+    assert color_cfg.input_width == (
+        meta.emb_width + (meta.d_out - 1) + 3 + 6 * meta.grad_L
+    ), "color net layout mismatch"
+    # color weights: channel-major e gather, then the kernel row map
+    # (8-lane grad-PE blocks; junk channels -> appended zero row)
+    clayers = list(params["color"]["layers"])
+    clayers[0] = _gather_cols(
+        clayers[0],
+        _cm_index(sdf_cfg.v_multires, sdf_cfg.r_multires, 0,
+                  color_cfg.input_width
+                  - hand_embedding_width(sdf_cfg.v_multires,
+                                         sdf_cfg.r_multires)),
+    )
+    W0 = linear_weight(clayers[0]).T  # (in_ref, out)
+    rows = color_row_map(meta)
+    W0_ext = jnp.concatenate(
+        [W0, jnp.zeros((1, W0.shape[1]), W0.dtype)], axis=0
+    )
+    idx = jnp.asarray(np.where(rows < 0, W0.shape[0], rows))
+    cws = (W0_ext[idx],) + tuple(
+        linear_weight(l).T for l in clayers[1:]
+    )
+    cbs = tuple(l["b"] for l in clayers)
+    sdf, grad, color = hand_fine_color(
+        pts, rotT, off, ws, bs, cws, cbs, meta, block, interpret
+    )
+    return sdf, grad, color

@@ -66,7 +66,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 class FineMeta(NamedTuple):
-    """Static architecture of the fused fine pass (hashable)."""
+    """Static architecture of the fused fine pass (hashable).
+
+    with_color adds the 4x256 hand color net (relu + sigmoid,
+    input = [e | feat | grad | PE(grad)]) to the op: outputs become
+    (sdf, g, color) and the embedding/features never leave VMEM."""
 
     v_multires: int         # 10
     r_multires: int         # 7
@@ -75,6 +79,15 @@ class FineMeta(NamedTuple):
     skip: int               # 4
     d_out: int              # 257
     dtype: str = "bf16"     # 'bf16' fast / 'f32' validation
+    with_color: bool = False
+    c_hidden: int = 256
+    c_layers: int = 5       # linear layers of the color net
+    grad_L: int = 4         # grad-PE frequencies
+    # sub-blocks per kernel block: independent row groups the Mosaic
+    # scheduler can interleave (same trick as ops/fused_hand.py); parity
+    # at n_split=2 validated on the interpret path, but measured NO win
+    # for this op on v5e (27.4 vs 26.1 ms at equal sub-size) — default 1
+    n_split: int = 1
 
     @property
     def emb_width(self) -> int:
@@ -87,6 +100,56 @@ class FineMeta(NamedTuple):
             n_layers=self.n_layers, skip=self.skip, d_out=self.d_out,
             dtype=self.dtype,
         )
+
+    @property
+    def gpe_blocks(self) -> int:
+        """8-wide blocks of the in-kernel grad(+PE) section:
+        [g | sin_l x L | cos_l x L]."""
+        return 1 + 2 * self.grad_L
+
+    @property
+    def color_in_kernel(self) -> int:
+        """Kernel-layout color input width: e + feat + 8*gpe_blocks."""
+        return self.emb_width + (self.d_out - 1) + 8 * self.gpe_blocks
+
+    @property
+    def color_dims(self) -> Tuple[Tuple[int, int], ...]:
+        """(in, out) per color layer in KERNEL layout (padded-friendly)."""
+        dims = []
+        d_in = self.color_in_kernel
+        for l in range(self.c_layers):
+            d_o = 3 if l == self.c_layers - 1 else self.c_hidden
+            dims.append((d_in, d_o))
+            d_in = d_o
+        return tuple(dims)
+
+
+def color_row_map(meta: FineMeta) -> np.ndarray:
+    """Maps kernel color-input rows -> reference color-input rows
+    (after the channel-major e gather), with -1 for the zero rows the
+    8-lane grad-PE padding introduces.
+
+    Reference color input (utils/fields.py:222-240, flat-embedding
+    order): [e (E) | feat (256) | g (3) | PE(g): per channel
+    (sin f0..fL-1, cos f0..fL-1)].  Kernel layout replaces the 27-ch
+    grad section with 8-wide blocks [g | sin_l | cos_l] whose channels
+    3..7 are junk — mapped to zero weight rows."""
+    E = meta.emb_width
+    F = meta.d_out - 1
+    L = meta.grad_L
+    rows = list(range(E + F))
+    gbase = E + F
+    for blk in range(meta.gpe_blocks):
+        for ch in range(8):
+            if ch >= 3:
+                rows.append(-1)
+            elif blk == 0:
+                rows.append(gbase + ch)
+            else:
+                t = 0 if blk - 1 < L else 1
+                l = (blk - 1) % L
+                rows.append(gbase + 3 + ch * 2 * L + t * L + l)
+    return np.asarray(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -350,15 +413,88 @@ def _emb_fwd_transpose_block(st, de, adj, cut, meta: FineMeta):
 
 
 # ---------------------------------------------------------------------------
+# Color-net block bodies (relu MLP + sigmoid; kernel input layout)
+# ---------------------------------------------------------------------------
+
+def _gpe_block(meta: FineMeta, g8):
+    """Kernel-layout grad(+PE) section: (B, 8*(1+2L)) = [g | sin_l | cos_l]
+    per 8-lane block (junk channels map to zero weight rows)."""
+    pieces = [g8]
+    sins, coss = [], []
+    for l in range(meta.grad_L):
+        f = 2.0 ** l
+        sins.append(jnp.sin(g8 * f))
+        coss.append(jnp.cos(g8 * f))
+    return jnp.concatenate(pieces + sins + coss, axis=-1)
+
+
+def _gpe_transpose(meta: FineMeta, g8, dgpe):
+    """Transpose of _gpe_block: cotangent on the (B, 8*(1+2L)) section
+    -> cotangent on g8."""
+    L = meta.grad_L
+    dg = dgpe[:, :8]
+    for l in range(L):
+        f = 2.0 ** l
+        ds = dgpe[:, (1 + l) * 8:(2 + l) * 8]
+        dc = dgpe[:, (1 + L + l) * 8:(2 + L + l) * 8]
+        dg = dg + f * (jnp.cos(g8 * f) * ds - jnp.sin(g8 * f) * dc)
+    return dg
+
+
+def _color_fwd_block(meta: FineMeta, x, cws, cbs, with_residuals=False):
+    """Color MLP forward on the kernel-layout input x (B, CXp).
+    Returns color (B, out_pad; 3 real) [, (zs for the relu masks)]."""
+    tm = meta.trunk_meta
+    n = meta.c_layers
+    a = x.astype(FT._cast(tm))
+    zs = []
+    acts = [a]
+    for l in range(n):
+        z = FT._mm(tm, a, cws[l]) + cbs[l][0, :]
+        zs.append(z)
+        if l < n - 1:
+            a = jnp.maximum(z, 0.0).astype(FT._cast(tm))
+            acts.append(a)
+    color = jax.nn.sigmoid(zs[-1])
+    return (color, zs, acts) if with_residuals else color
+
+
+def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None):
+    """Transpose of the color MLP at cotangent dcolor.
+    Returns (dx, dcws, dcbs)."""
+    tm = meta.trunk_meta
+    n = meta.c_layers
+    if res is None:
+        _, zs, acts = _color_fwd_block(meta, x, cws, cbs,
+                                       with_residuals=True)
+    else:
+        zs, acts = res
+    sig = jax.nn.sigmoid(zs[-1])
+    dz = sig * (1.0 - sig) * dcolor
+    dcws = [None] * n
+    dcbs = [None] * n
+    for l in range(n - 1, -1, -1):
+        dcws[l] = FT._mm_tn(tm, acts[l], dz)
+        dcbs[l] = jnp.sum(dz, axis=0, keepdims=True)
+        da = FT._mm_t(tm, dz, cws[l])
+        if l > 0:
+            dz = jnp.where(zs[l - 1] > 0.0, da, 0.0)
+        else:
+            dx = da
+    return dx, dcws, dcbs
+
+
+# ---------------------------------------------------------------------------
 # Integrated block bodies (shared by kernels and CPU tests)
 # ---------------------------------------------------------------------------
 
 def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
-                    with_residuals: bool = False):
+                    cws=(), cbs=(), with_residuals: bool = False):
     """One block of the fully-fused forward.
 
-    Returns (out (B, OUTp) f32, g8 (B, 8) f32, e (B, Ep)) and, with
-    with_residuals, the stage/chain/trunk intermediates the backward
+    Without color: returns (out (B, OUTp) f32, g8 (B, 8) f32, e (B, Ep)).
+    With color (meta.with_color): returns (out, g8, color (B, out_pad)).
+    with_residuals additionally returns the intermediates the backward
     reuses."""
     tm = meta.trunk_meta
     E = meta.emb_width
@@ -369,37 +505,74 @@ def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         tm, e_pad, list(ws), list(bs))
     u = u_pad[:, :E]
     g8, chain = _emb_rev_block(st, rotT, u, meta)
+    if not meta.with_color:
+        if with_residuals:
+            return out, g8, e_pad, (st, u, chain, (ss, ins, ts, cs))
+        return out, g8, e_pad
+    # color net on [e | feat | grad(+PE)] in kernel layout
+    feat = out[:, 1:meta.d_out]
+    x = jnp.concatenate(
+        [st["e"], feat.astype(st["e"].dtype), _gpe_block(meta, g8)],
+        axis=-1,
+    )
+    CXp = _round_up(meta.color_in_kernel, _LANE)
+    x = jnp.pad(x, ((0, 0), (0, CXp - x.shape[1])))
+    color_res = _color_fwd_block(meta, x, list(cws), list(cbs),
+                                 with_residuals=True)
+    color = color_res[0]
     if with_residuals:
-        return out, g8, e_pad, (st, u, chain, (ss, ins, ts, cs))
-    return out, g8, e_pad
+        return out, g8, color, (st, u, chain, (ss, ins, ts, cs), x,
+                                color_res[1:])
+    return out, g8, color
 
 
 def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
-                    dout, dg8, de_ext):
+                    dout, dg8, dthird, cws=(), cbs=()):
     """One block of the fully-fused backward.
 
-    Cotangents: dout on out (B, OUTp), dg8 on g (B, 8; 3 real),
-    de_ext on the e output (B, Ep).
-    Returns (dp8, dws, dbs, drotT_blk (8, 128), doff_blk (1, 128))."""
+    Cotangents: dout on out (B, OUTp; with_color: only col 0 = sdf is
+    externally visible), dg8 on g (B, 8; 3 real), dthird = de_ext
+    (no-color: on the e output, (B, Ep)) or dcolor (with_color,
+    (B, out_pad)).
+    Returns (dp8, dws, dbs, drotT_blk, doff_blk[, dcws, dcbs])."""
     tm = meta.trunk_meta
     E = meta.emb_width
-    out, g8, e_pad, (st, u, chain, trunk_fwd) = _fine_fwd_block(
-        meta, p8, rotT, off, cut, ws, bs, with_residuals=True)
+    res = _fine_fwd_block(meta, p8, rotT, off, cut, ws, bs, cws, cbs,
+                          with_residuals=True)
+    if meta.with_color:
+        out, g8, _color, (st, u, chain, trunk_fwd, x, cres) = res
+        # 0. color transpose -> de/dfeat/dg contributions
+        dx, dcws, dcbs = _color_bwd_block(meta, x, list(cws), list(cbs),
+                                          dthird, res=cres)
+        F = meta.d_out - 1
+        de_ext = dx[:, :E]
+        dfeat = dx[:, E:E + F]
+        dgpe = dx[:, E + F:E + F + 8 * meta.gpe_blocks]
+        dg8 = dg8 + _gpe_transpose(meta, g8, dgpe)
+        out_pad = dout.shape[1]
+        dout = dout + jnp.pad(dfeat, ((0, 0), (1, out_pad - 1 - F)))
+    else:
+        out, g8, e_pad_out, (st, u, chain, trunk_fwd) = res
+        de_ext = dthird[:, :E]
     # 1. transpose of the reverse chain at cotangent dg
     du, adj, drotT_direct = _emb_rev_transpose_block(
         st, chain, rotT, u, dg8, meta)
     # 2. trunk backward with cotangents (dout, du)
-    du_pad = jnp.pad(du, ((0, 0), (0, e_pad.shape[1] - E)))
+    Ep = _round_up(E, _LANE)
+    e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
+    du_pad = jnp.pad(du, ((0, 0), (0, Ep - E)))
     de_trunk, dws, dbs = FT._trunk_bwd_block(
         tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd)
     # 3. embedding-forward transpose: trunk de + external de + R adjoints
-    de_total = (de_trunk + de_ext.astype(jnp.float32))[:, :E]
+    de_total = de_trunk[:, :E] + de_ext.astype(jnp.float32)
     dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
     # 4. pose / point adjoints
     dp8 = jnp.dot(dq, rotT.T, preferred_element_type=jnp.float32)
     drotT_blk = drotT_direct + jnp.dot(
         p8.T, dq, preferred_element_type=jnp.float32)
     doff_blk = jnp.sum(dq, axis=0, keepdims=True)
+    if meta.with_color:
+        return dp8, dws, dbs, drotT_blk, doff_blk, dcws, dcbs
     return dp8, dws, dbs, drotT_blk, doff_blk
 
 
@@ -409,38 +582,82 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
 
 def _make_fwd_kernel(meta: FineMeta):
     n = meta.n_layers
+    cn = meta.c_layers if meta.with_color else 0
 
     def kernel(p_ref, rotT_ref, off_ref, cut_ref, *refs):
         ws = [r[:] for r in refs[:n]]
         bs = [r[:] for r in refs[n:2 * n]]
-        out_ref, g_ref, e_ref = refs[2 * n], refs[2 * n + 1], refs[2 * n + 2]
-        out, g8, e_pad = _fine_fwd_block(
-            meta, p_ref[:], rotT_ref[:], off_ref[:], cut_ref[:], ws, bs)
-        out_ref[:] = out
-        g_ref[:] = jnp.pad(g8, ((0, 0), (0, _LANE - g8.shape[1])))
-        e_ref[:] = e_pad.astype(e_ref.dtype)
+        cws = [r[:] for r in refs[2 * n:2 * n + cn]]
+        cbs = [r[:] for r in refs[2 * n + cn:2 * n + 2 * cn]]
+        out_ref = refs[2 * n + 2 * cn]
+        g_ref = refs[2 * n + 2 * cn + 1]
+        third_ref = refs[2 * n + 2 * cn + 2]
+        B = p_ref.shape[0]
+        sub = B // meta.n_split
+        for i in range(meta.n_split):
+            rows = slice(i * sub, (i + 1) * sub)
+            out, g8, third = _fine_fwd_block(
+                meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
+                cut_ref[:], ws, bs, cws, cbs)
+            if meta.with_color:
+                out_ref[rows, :] = out[:, :_LANE]  # col 0 = sdf
+                third_ref[rows, :] = third[:, :_LANE]  # color
+            else:
+                out_ref[rows, :] = out
+                third_ref[rows, :] = third.astype(third_ref.dtype)  # e
+            g_ref[rows, :] = jnp.pad(
+                g8, ((0, 0), (0, _LANE - g8.shape[1])))
 
     return kernel
 
 
 def _make_bwd_kernel(meta: FineMeta):
     n = meta.n_layers
+    cn = meta.c_layers if meta.with_color else 0
 
-    def kernel(p_ref, dout_ref, dg_ref, de_ref, rotT_ref, off_ref,
+    def kernel(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
                cut_ref, *refs):
         ws = [r[:] for r in refs[:n]]
         bs = [r[:] for r in refs[n:2 * n]]
-        dp_ref = refs[2 * n]
-        dw_refs = refs[2 * n + 1:3 * n + 1]
-        db_refs = refs[3 * n + 1:4 * n + 1]
-        drotT_ref = refs[4 * n + 1]
-        doff_ref = refs[4 * n + 2]
+        cws = [r[:] for r in refs[2 * n:2 * n + cn]]
+        cbs = [r[:] for r in refs[2 * n + cn:2 * n + 2 * cn]]
+        o = 2 * n + 2 * cn
+        dp_ref = refs[o]
+        dw_refs = refs[o + 1:o + 1 + n]
+        db_refs = refs[o + 1 + n:o + 1 + 2 * n]
+        drotT_ref = refs[o + 1 + 2 * n]
+        doff_ref = refs[o + 2 + 2 * n]
+        dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
+        dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
         first = pl.program_id(0) == 0
 
-        dp8, dws, dbs, drotT_blk, doff_blk = _fine_bwd_block(
-            meta, p_ref[:], rotT_ref[:], off_ref[:], cut_ref[:], ws, bs,
-            dout_ref[:], dg_ref[:, :8], de_ref[:])
-        dp_ref[:] = jnp.pad(dp8, ((0, 0), (0, _LANE - dp8.shape[1])))
+        B = p_ref.shape[0]
+        sub = B // meta.n_split
+        dws = dbs = dcws = dcbs = None
+        drotT_blk = doff_blk = None
+        for i in range(meta.n_split):
+            rows = slice(i * sub, (i + 1) * sub)
+            res = _fine_bwd_block(
+                meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
+                cut_ref[:], ws, bs, dout_ref[rows, :],
+                dg_ref[rows, :8], dthird_ref[rows, :], cws, cbs)
+            if meta.with_color:
+                dp8, dws_i, dbs_i, drotT_i, doff_i, dcws_i, dcbs_i = res
+            else:
+                dp8, dws_i, dbs_i, drotT_i, doff_i = res
+                dcws_i, dcbs_i = [], []
+            dp_ref[rows, :] = jnp.pad(
+                dp8, ((0, 0), (0, _LANE - dp8.shape[1])))
+            if i == 0:
+                dws, dbs, dcws, dcbs = dws_i, dbs_i, dcws_i, dcbs_i
+                drotT_blk, doff_blk = drotT_i, doff_i
+            else:
+                dws = [a + b for a, b in zip(dws, dws_i)]
+                dbs = [a + b for a, b in zip(dbs, dbs_i)]
+                dcws = [a + b for a, b in zip(dcws, dcws_i)]
+                dcbs = [a + b for a, b in zip(dcbs, dcbs_i)]
+                drotT_blk = drotT_blk + drotT_i
+                doff_blk = doff_blk + doff_i
 
         @pl.when(first)
         def _():
@@ -463,6 +680,17 @@ def _make_bwd_kernel(meta: FineMeta):
                 dw_refs[l][:] += dws[l]
                 db_refs[l][:] += dbs[l]
 
+        for l in range(cn):
+            @pl.when(first)
+            def _(l=l):
+                dcw_refs[l][:] = dcws[l]
+                dcb_refs[l][:] = dcbs[l]
+
+            @pl.when(jnp.logical_not(first))
+            def _(l=l):
+                dcw_refs[l][:] += dcws[l]
+                dcb_refs[l][:] += dcbs[l]
+
     return kernel
 
 
@@ -479,55 +707,92 @@ def _rows(block, width):
                         memory_space=pltpu.VMEM)
 
 
+def _pad_color_weights(cws, cbs, meta: FineMeta):
+    """Zero-pad color weights to lane multiples (kernel row layout)."""
+    tm = meta.trunk_meta
+    wps, bps = [], []
+    for (d_in, d_out), w, b in zip(meta.color_dims, cws, cbs):
+        ip, op = _round_up(d_in, _LANE), _round_up(d_out, _LANE)
+        wps.append(jnp.pad(w, ((0, ip - d_in), (0, op - d_out))
+                           ).astype(FT._cast(tm)))
+        bps.append(jnp.pad(b, (0, op - d_out)).astype(jnp.float32)[None, :])
+    return tuple(wps), tuple(bps)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
-def _fwd_call(p8, rotT, off, cut, wps, bps, meta: FineMeta, block, interpret):
+def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
+              block, interpret):
     N = p8.shape[0]
     Ep = _round_up(meta.emb_width, _LANE)
     op = _round_up(meta.d_out, _LANE)
     e_dtype = jnp.bfloat16 if meta.dtype == "bf16" else jnp.float32
-    flops = 4 * N * sum(w.shape[0] * w.shape[1] for w in wps)
-    return pl.pallas_call(
-        _make_fwd_kernel(meta),
-        out_shape=(
+    flops = 4 * N * sum(w.shape[0] * w.shape[1]
+                        for w in list(wps) + list(cwps))
+    if meta.with_color:
+        out_shape = (
+            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # sdf col
+            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # g
+            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # color
+        )
+        out_specs = (_rows(block, _LANE), _rows(block, _LANE),
+                     _rows(block, _LANE))
+    else:
+        out_shape = (
             jax.ShapeDtypeStruct((N, op), jnp.float32),
             jax.ShapeDtypeStruct((N, _LANE), jnp.float32),
             jax.ShapeDtypeStruct((N, Ep), e_dtype),
-        ),
+        )
+        out_specs = (_rows(block, op), _rows(block, _LANE),
+                     _rows(block, Ep))
+    return pl.pallas_call(
+        _make_fwd_kernel(meta),
+        out_shape=out_shape,
         grid=(N // block,),
         in_specs=([_rows(block, 8), _const(rotT.shape), _const(off.shape),
                    _const(cut.shape)]
                   + [_const(w.shape) for w in wps]
-                  + [_const(b.shape) for b in bps]),
-        out_specs=(_rows(block, op), _rows(block, _LANE),
-                   _rows(block, Ep)),
+                  + [_const(b.shape) for b in bps]
+                  + [_const(w.shape) for w in cwps]
+                  + [_const(b.shape) for b in cbps]),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=N * (Ep + op + _LANE) * 4,
             transcendentals=N * (meta.d_hidden * (meta.n_layers - 1)
                                  + 2 * 84 + 21),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(p8, rotT, off, cut, *wps, *bps)
+    )(p8, rotT, off, cut, *wps, *bps, *cwps, *cbps)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
-def _bwd_call(p8, dout, dg, de, rotT, off, cut, wps, bps, meta: FineMeta,
-              block, interpret):
+def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
+              meta: FineMeta, block, interpret):
     N = p8.shape[0]
     Ep = _round_up(meta.emb_width, _LANE)
-    flops = 12 * N * sum(w.shape[0] * w.shape[1] for w in wps)
+    flops = 12 * N * sum(w.shape[0] * w.shape[1]
+                         for w in list(wps) + list(cwps))
     n = meta.n_layers
+    cn = meta.c_layers if meta.with_color else 0
+    third_width = _LANE if meta.with_color else Ep
     out_shapes = (
         [jax.ShapeDtypeStruct((N, _LANE), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
         + [jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
            jax.ShapeDtypeStruct(off.shape, jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in cwps]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in cbps]
     )
     out_specs = (
         [_rows(block, _LANE)]
         + [_const(w.shape) for w in wps]
         + [_const(b.shape) for b in bps]
         + [_const(rotT.shape), _const(off.shape)]
+        + [_const(w.shape) for w in cwps]
+        + [_const(b.shape) for b in cbps]
     )
     outs = pl.pallas_call(
         _make_bwd_kernel(meta),
@@ -535,31 +800,35 @@ def _bwd_call(p8, dout, dg, de, rotT, off, cut, wps, bps, meta: FineMeta,
         grid=(N // block,),
         in_specs=([_rows(block, 8),
                    _rows(block, _round_up(meta.d_out, _LANE)),
-                   _rows(block, _LANE), _rows(block, Ep),
+                   _rows(block, _LANE), _rows(block, third_width),
                    _const(rotT.shape), _const(off.shape),
                    _const(cut.shape)]
                   + [_const(w.shape) for w in wps]
-                  + [_const(b.shape) for b in bps]),
+                  + [_const(b.shape) for b in bps]
+                  + [_const(w.shape) for w in cwps]
+                  + [_const(b.shape) for b in cbps]),
         out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=N * (2 * Ep + _LANE) * 4,
             transcendentals=2 * N * (meta.d_hidden * (meta.n_layers - 1)
                                      + 2 * 84 + 21),
         ),
-        # the block holds embedding stages + trunk activations + chain
-        # values + f32 dW/pose accumulators: 23.2M at block=128 on v5e —
-        # above the compiler's default 16M scoped-vmem limit, well under
-        # physical VMEM; raise the cap instead of shrinking the block
+        # the block holds embedding stages + trunk/color activations +
+        # chain values + f32 dW/pose accumulators: >23M at block=128 on
+        # v5e — above the compiler's default 16M scoped-vmem limit, well
+        # under physical VMEM; raise the cap instead of shrinking blocks
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(p8, dout, dg, de, rotT, off, cut, *wps, *bps)
+    )(p8, dout, dg, dthird, rotT, off, cut, *wps, *bps, *cwps, *cbps)
     dp = outs[0]
     dws = outs[1:1 + n]
     dbs = outs[1 + n:1 + 2 * n]
     drotT, doff = outs[1 + 2 * n], outs[2 + 2 * n]
-    return dp, tuple(dws), tuple(dbs), drotT, doff
+    dcws = outs[3 + 2 * n:3 + 2 * n + cn]
+    dcbs = outs[3 + 2 * n + cn:3 + 2 * n + 2 * cn]
+    return dp, tuple(dws), tuple(dbs), drotT, doff, tuple(dcws), tuple(dcbs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -583,18 +852,23 @@ def hand_fine_full(pts, rotT, off, ws, bs, meta: FineMeta,
     return out, g, e
 
 
-def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret):
+def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
+                cws=(), cbs=()):
     N = pts.shape[0]
     Np = _round_up(max(N, block), block)
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
     wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
-    out, g, e = _fwd_call(p8, rotT.astype(jnp.float32),
-                          off.astype(jnp.float32), cut, wps, bps, meta,
-                          block, interpret)
+    cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
+                  else ((), ()))
+    out, g, third = _fwd_call(p8, rotT.astype(jnp.float32),
+                              off.astype(jnp.float32), cut, wps, bps,
+                              cwps, cbps, meta, block, interpret)
+    if meta.with_color:
+        return out[:N, 0], g[:N, :3], third[:N, :3], cut
     E = meta.emb_width
     return (out[:N, :meta.d_out], g[:N, :3],
-            e[:N, :E].astype(jnp.float32), cut)
+            third[:N, :E].astype(jnp.float32), cut)
 
 
 def _vjp_fwd(pts, rotT, off, ws, bs, meta, block, interpret):
@@ -603,9 +877,10 @@ def _vjp_fwd(pts, rotT, off, ws, bs, meta, block, interpret):
     return (out, g, e), (pts, rotT, off, ws, bs)
 
 
-def _vjp_bwd(meta, block, interpret, res, cts):
-    pts, rotT, off, ws, bs = res
-    dout, dg, de = cts
+def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
+                dout_full, dg, dthird, cws=(), cbs=()):
+    """Shared padded backward: dout_full is the (N, d_out) cotangent on
+    the full trunk output (with_color: only col 0 nonzero externally)."""
     N = pts.shape[0]
     E = meta.emb_width
     Ep = _round_up(E, _LANE)
@@ -613,14 +888,19 @@ def _vjp_bwd(meta, block, interpret, res, cts):
     Np = _round_up(max(N, block), block)
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
-    dout_p = jnp.pad(dout.astype(jnp.float32),
+    dout_p = jnp.pad(dout_full.astype(jnp.float32),
                      ((0, Np - N), (0, op - meta.d_out)))
     dg_p = jnp.pad(dg.astype(jnp.float32), ((0, Np - N), (0, _LANE - 3)))
-    de_p = jnp.pad(de.astype(jnp.float32), ((0, Np - N), (0, Ep - E)))
+    tw = _LANE if meta.with_color else Ep
+    dthird_p = jnp.pad(dthird.astype(jnp.float32),
+                       ((0, Np - N), (0, tw - dthird.shape[1])))
     wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
-    dp, dws, dbs, drotT, doff = _bwd_call(
-        p8, dout_p, dg_p, de_p, rotT.astype(jnp.float32),
-        off.astype(jnp.float32), cut, wps, bps, meta, block, interpret)
+    cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
+                  else ((), ()))
+    dp, dws, dbs, drotT, doff, dcws, dcbs = _bwd_call(
+        p8, dout_p, dg_p, dthird_p, rotT.astype(jnp.float32),
+        off.astype(jnp.float32), cut, wps, bps, cwps, cbps, meta, block,
+        interpret)
     dims = FT._dims(meta.trunk_meta)
     H = meta.d_hidden
     Hp = _round_up(H, _LANE)
@@ -630,7 +910,54 @@ def _vjp_bwd(meta, block, interpret, res, cts):
             dw = jnp.concatenate([dw[:H], dw[Hp:Hp + E]], axis=0)
         out_dws.append(dw[:d_in, :d_out])
     out_dbs = tuple(db[0, :d_out] for db, (_d, d_out) in zip(dbs, dims))
-    return (dp[:N, :3], drotT, doff, tuple(out_dws), out_dbs)
+    out_dcws = tuple(dw[:d_in, :d_out] for dw, (d_in, d_out)
+                     in zip(dcws, meta.color_dims))
+    out_dcbs = tuple(db[0, :d_out] for db, (_d, d_out)
+                     in zip(dcbs, meta.color_dims))
+    return (dp[:N, :3], drotT, doff, tuple(out_dws), out_dbs,
+            out_dcws, out_dcbs)
+
+
+def _vjp_bwd(meta, block, interpret, res, cts):
+    pts, rotT, off, ws, bs = res
+    dout, dg, de = cts
+    dp, drotT, doff, dws, dbs, _dcw, _dcb = _bwd_padded(
+        meta, block, interpret, pts, rotT, off, ws, bs, dout, dg, de)
+    return (dp, drotT, doff, dws, dbs)
 
 
 hand_fine_full.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def hand_fine_color(pts, rotT, off, ws, bs, cws, cbs, meta: FineMeta,
+                    block: int = 128, interpret: bool = False):
+    """Fully-fused fine pass INCLUDING the hand color net:
+    (pts, pose, trunk W, color W) -> (sdf (N,), g (N, 3), color (N, 3)).
+    The embedding and the 256-d features never leave VMEM."""
+    assert meta.with_color
+    sdf, g, color, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta,
+                                      block, interpret, cws, cbs)
+    return sdf, g, color
+
+
+def _vjp_color_fwd(pts, rotT, off, ws, bs, cws, cbs, meta, block,
+                   interpret):
+    sdf, g, color, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta,
+                                      block, interpret, cws, cbs)
+    return (sdf, g, color), (pts, rotT, off, ws, bs, cws, cbs)
+
+
+def _vjp_color_bwd(meta, block, interpret, res, cts):
+    pts, rotT, off, ws, bs, cws, cbs = res
+    dsdf, dg, dcolor = cts
+    N = pts.shape[0]
+    dout_full = jnp.zeros((N, meta.d_out)).at[:, 0].set(dsdf)
+    dcolor_p = dcolor  # (N, 3)
+    dp, drotT, doff, dws, dbs, dcws, dcbs = _bwd_padded(
+        meta, block, interpret, pts, rotT, off, ws, bs, dout_full, dg,
+        dcolor_p, cws, cbs)
+    return (dp, drotT, doff, dws, dbs, dcws, dcbs)
+
+
+hand_fine_color.defvjp(_vjp_color_fwd, _vjp_color_bwd)

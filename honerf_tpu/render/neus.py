@@ -147,29 +147,40 @@ def make_hand_field(
 
             assert_fused_ladder_ok(interpret)
 
-        def full_fn(pts, dirs):
-            if impl == "full":
-                from honerf_tpu.models.fields import (
-                    sdf_hand_value_feat_grad_full,
+        if impl == "full":
+            # color-fused: (sdf, grad, color) straight from the kernel
+            from honerf_tpu.models.fields import hand_fine_color_apply
+
+            def full_fn(pts, dirs):
+                return hand_fine_color_apply(
+                    params, sdf_cfg, color_cfg, pts, bt_inv, t_pose_21,
+                    interpret=interpret,
                 )
 
-                sdf, feat, xyz_feature, r, h, grad = (
-                    sdf_hand_value_feat_grad_full(
-                        params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
-                        interpret=interpret,
+        else:
+            def full_fn(pts, dirs):
+                if impl == "full_nocolor":
+                    from honerf_tpu.models.fields import (
+                        sdf_hand_value_feat_grad_full,
                     )
-                )
-            else:
-                sdf, feat, xyz_feature, r, h, grad = (
-                    sdf_hand_value_feat_grad_fused(
-                        params["sdf"], sdf_cfg, pts, bt_inv, t_pose_21,
-                        interpret=interpret, impl=impl,
+
+                    sdf, feat, xyz_feature, r, h, grad = (
+                        sdf_hand_value_feat_grad_full(
+                            params["sdf"], sdf_cfg, pts, bt_inv,
+                            t_pose_21, interpret=interpret,
+                        )
                     )
+                else:
+                    sdf, feat, xyz_feature, r, h, grad = (
+                        sdf_hand_value_feat_grad_fused(
+                            params["sdf"], sdf_cfg, pts, bt_inv,
+                            t_pose_21, interpret=interpret, impl=impl,
+                        )
+                    )
+                color = color_hand_apply(
+                    params["color"], color_cfg, xyz_feature, feat, grad
                 )
-            color = color_hand_apply(
-                params["color"], color_cfg, xyz_feature, feat, grad
-            )
-            return sdf[..., 0], grad, color
+                return sdf[..., 0], grad, color
 
     else:
         def full_fn(pts, dirs):

@@ -325,10 +325,10 @@ def hand_render_from_batch(
         want_fine = (sdf_cfg.trunk_dtype == "bf16") and "full"
     if want_fine == "xla":
         use_fine = "xla"  # pure XLA — safe on any backend/mesh
-    elif want_fine in (True, "full"):
-        use_fine = single_tpu and "full"
-    elif want_fine == "pallas":
-        use_fine = single_tpu and "pallas"
+    elif want_fine in (True, "full", "full_nocolor", "pallas"):
+        use_fine = single_tpu and (
+            want_fine if isinstance(want_fine, str) else "full"
+        )
     else:
         use_fine = False
     field = make_hand_field(

@@ -217,7 +217,7 @@ def test_integrated_render_loss_grad_parity():
     l_x, (gp_x, gj_x) = jax.value_and_grad(
         lambda p, dj: loss(p, dj, False), argnums=(0, 1))(params, dj0)
     l_f, (gp_f, gj_f) = jax.value_and_grad(
-        lambda p, dj: loss(p, dj, "full"), argnums=(0, 1))(params, dj0)
+        lambda p, dj: loss(p, dj, "full_nocolor"), argnums=(0, 1))(params, dj0)
     np.testing.assert_allclose(float(l_f), float(l_x), atol=1e-4,
                                rtol=1e-4)
     flat_x = jax.tree_util.tree_flatten_with_path(gp_x)[0]
@@ -229,6 +229,124 @@ def test_integrated_render_loss_grad_parity():
             atol=1e-3, rtol=1e-3, err_msg=jax.tree_util.keystr(path),
         )
     # pose gradient (the HALO/se3 path through the embedding operands)
+    scale = max(1.0, float(jnp.max(jnp.abs(gj_x))))
+    np.testing.assert_allclose(
+        np.asarray(gj_f) / scale, np.asarray(gj_x) / scale,
+        atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_color_fused_fwd_matches_xla():
+    """hand_fine_color_apply (interpret) == XLA full_fn (sdf, grad,
+    color) on the small architecture."""
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import (
+        ColorConfig,
+        init_color_params,
+        init_variance_params,
+    )
+    from honerf_tpu.models.fields import hand_fine_color_apply
+    from honerf_tpu.render.neus import make_hand_field
+
+    sdf_cfg, sdf_params = _small_net()
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2)
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+    }
+    joints = jnp.asarray(canonical_hand_joints(0.3))
+    bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(6)
+    center = np.asarray(joints.mean(0))
+    pts = jnp.asarray(
+        (rng.normal(size=(40, 3)) * 0.05 + center).astype(np.float32))
+    dirs = jnp.zeros_like(pts)
+
+    field_x = make_hand_field(params, sdf_cfg, color_cfg, bt_inv, t_pose)
+    sdf_x, g_x, c_x = field_x.full_fn(pts, dirs)
+    sdf_f, g_f, c_f = hand_fine_color_apply(
+        params, sdf_cfg, color_cfg, pts, bt_inv, t_pose, block=32,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_color_fused_render_loss_grad_parity():
+    """Render-loss gradients (params + pose) through the COLOR-fused op
+    == XLA at <=1e-3 — the production 'full' mode's correctness gate."""
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import (
+        ColorConfig,
+        init_color_params,
+        init_variance_params,
+    )
+    from honerf_tpu.render import RenderConfig, render_single
+    from honerf_tpu.render.losses import mask_bce, masked_l1_color
+    from honerf_tpu.render.neus import make_hand_field
+
+    sdf_cfg, sdf_params = _small_net()
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2)
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+    }
+    joints0 = jnp.asarray(canonical_hand_joints(0.3))
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(0)
+    n_rays = 8
+    center = np.asarray(joints0.mean(0))
+    rays_o = jnp.asarray(
+        (center + [0, 0, -0.9]
+         + rng.normal(size=(n_rays, 3)) * 0.05).astype(np.float32))
+    rays_d = jnp.asarray(
+        np.tile(np.asarray([[0.0, 0, 1]], np.float32), (n_rays, 1)))
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                        perturb=0.0)
+    true_rgb = jnp.asarray(
+        rng.uniform(0, 1, (n_rays, 3)).astype(np.float32))
+    true_mask = jnp.asarray(
+        (rng.uniform(0, 1, (n_rays, 1)) > 0.4).astype(np.float32))
+
+    def loss(p, djoints, fused):
+        joints = joints0 + djoints
+        bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+        field = make_hand_field(
+            p, sdf_cfg, color_cfg, bt_inv, t_pose,
+            fused_fine=fused, interpret=True,
+        )
+        out = render_single(field, rcfg, jax.random.PRNGKey(0),
+                            rays_o, rays_d, 0.4, 1.5)
+        return (masked_l1_color(out["color_fine"], true_rgb, true_mask)
+                + mask_bce(out["weight_sum"], true_mask)
+                + out["gradient_error"])
+
+    dj0 = jnp.zeros_like(joints0)
+    l_x, (gp_x, gj_x) = jax.value_and_grad(
+        lambda p, dj: loss(p, dj, False), argnums=(0, 1))(params, dj0)
+    l_f, (gp_f, gj_f) = jax.value_and_grad(
+        lambda p, dj: loss(p, dj, "full"), argnums=(0, 1))(params, dj0)
+    np.testing.assert_allclose(float(l_f), float(l_x), atol=1e-4,
+                               rtol=1e-4)
+    flat_x = jax.tree_util.tree_flatten_with_path(gp_x)[0]
+    flat_f = jax.tree.leaves(gp_f)
+    assert len(flat_x) == len(flat_f)
+    for (path, wv), gv in zip(flat_x, flat_f):
+        scale = max(1.0, float(jnp.max(jnp.abs(wv))))
+        np.testing.assert_allclose(
+            np.asarray(gv) / scale, np.asarray(wv) / scale,
+            atol=1e-3, rtol=1e-3, err_msg=jax.tree_util.keystr(path),
+        )
     scale = max(1.0, float(jnp.max(jnp.abs(gj_x))))
     np.testing.assert_allclose(
         np.asarray(gj_f) / scale, np.asarray(gj_x) / scale,
