@@ -256,10 +256,18 @@ class SingleFitRunner(_FitBase):
                 "train.fused_ladder",
                 jax.default_backend() != "cpu" and len(jax.devices()) == 1,
             )
+            # fused differentiable fine pass for the hand side of the
+            # dual render — opt-in via conf (False | 'full' | 'xla');
+            # single non-CPU chip only for the Pallas variant
+            fine = self.conf.get("train.fused_fine", False)
+            if fine and fine != "xla" and not (
+                jax.default_backend() != "cpu" and len(jax.devices()) == 1
+            ):
+                fine = False
             step, opt = make_single_fit_step(
                 nets, self.hand_sdf_cfg, self.hand_color_cfg,
                 self.obj_sdf_cfg, self.obj_color_cfg, self.rcfg, self.fcfg,
-                fused_ladder=fused,
+                fused_ladder=fused, fused_fine=fine,
             )
             step = jax.jit(step)
             from honerf_tpu.train.offline import make_multi_step

@@ -115,6 +115,7 @@ def make_single_fit_step(
     fcfg: FitHyper,
     lrs: Dict[str, float] = SINGLE_FIT_LRS,
     fused_ladder: bool = False,
+    fused_fine=False,
 ):
     """Build the jittable fit step.  `net_params` holds the FROZEN offline
     models: {'hand': {sdf,color,variance}, 'obj': {...}}.
@@ -124,7 +125,13 @@ def make_single_fit_step(
     non-differentiable, so pose gradients are unaffected; sample
     placement shifts slightly (bf16 kernel weights).  Quality-gated on
     the synthetic catch sequence (scripts/quality_fit_fused.py); leave
-    False under vmap (the frame-batched step)."""
+    False under vmap (the frame-batched step).
+
+    fused_fine ('full'/'xla'/False, conf train.fused_fine): serve the
+    hand FINE pass from the fully-fused differentiable op
+    (ops/fused_fine_full.py) — pose gradients flow through its
+    hand-written VJP (validated <=1e-3 vs XLA incl. the HALO chain,
+    tests/test_fused_fine_full.py)."""
     opt = make_pose_optimizer(lrs)
 
     def loss_fn(pose: Params, batch: Dict[str, jnp.ndarray], key):
@@ -133,6 +140,7 @@ def make_single_fit_step(
         hand_field = make_hand_field(
             net_params["hand"], hand_sdf_cfg, hand_color_cfg, bt_inv,
             batch["t_pose_21"], fused_ladder=fused_ladder,
+            fused_fine=fused_fine,
         )
         obj_field = make_obj_field(net_params["obj"], obj_sdf_cfg, obj_color_cfg)
         cam = Camera(
