@@ -89,12 +89,28 @@ def mesh_chamfer(runner, model_type: str, data_dir: str) -> dict:
         return {"chamfer_mm": float("inf")}
     from scipy.spatial import cKDTree
 
-    acc = float(np.mean(gt_dist(verts)))           # mesh -> GT surface
+    d = gt_dist(verts)
+    # Unsupervised grid regions produce spurious zero-crossing sheets (a
+    # standard masked-NeuS artifact — the reference's validate_mesh has
+    # the same property); the INLIER band (<= 15 mm of the GT surface)
+    # measures the actual reconstructed surface, the raw mean records
+    # the spurious load.
+    inl = d < 0.015
+    acc = float(np.mean(d))
     comp = float(np.mean(cKDTree(verts).query(gt_surface)[0]))
+    sdf_at_gt = np.concatenate([
+        np.asarray(sdf_fn(jnp.asarray(c.astype(np.float32))))
+        for c in np.array_split(gt_surface, 4)
+    ])
     return {
         "mesh_acc_mm": round(acc * 1000, 3),
+        "mesh_acc_inlier_mm": round(
+            float(np.mean(d[inl])) * 1000, 3) if inl.any() else None,
+        "inlier_frac": round(float(np.mean(inl)), 3),
         "mesh_comp_mm": round(comp * 1000, 3),
         "chamfer_mm": round((acc + comp) * 1000, 3),
+        "abs_sdf_at_gt_surface_mm": round(
+            float(np.mean(np.abs(sdf_at_gt))) * 1000, 3),
         "n_verts": int(len(verts)),
     }
 
