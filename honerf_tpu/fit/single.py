@@ -131,8 +131,14 @@ def make_single_fit_step(
     hand FINE pass from the fully-fused differentiable op
     (ops/fused_fine_full.py) — pose gradients flow through its
     hand-written VJP (validated <=1e-3 vs XLA incl. the HALO chain,
-    tests/test_fused_fine_full.py)."""
+    tests/test_fused_fine_full.py).  The fit step only differentiates
+    POSE (net_params are frozen constants), so 'full' is upgraded to
+    the 'full_frozen' kernel variant: the backward skips every
+    dW = X^T dY matmul (pose grads identical,
+    tests/test_fused_fine_full.py::test_frozen_color_pose_grads)."""
     opt = make_pose_optimizer(lrs)
+    if fused_fine in (True, "full"):
+        fused_fine = "full_frozen"
 
     def loss_fn(pose: Params, batch: Dict[str, jnp.ndarray], key):
         joint_3d, obj_r, obj_t = current_pose(pose, batch)

@@ -485,10 +485,15 @@ def sdf_hand_value_feat_grad_full(
     t_pose_21: jnp.ndarray,
     block: int = 128,
     interpret: bool = False,
+    frozen: bool = False,
 ):
     """FULLY-fused fine pass (ops/fused_fine_full.py): embedding + trunk
     + spatial gradient in one custom-VJP Pallas op, pose gradients via
     the differentiable (rotT, off) operands (pack_hand_pose stays XLA).
+
+    frozen=True (pose fitting): the backward kernel skips all weight
+    gradients and returns ZERO cotangents for the net params — callers
+    must only differentiate w.r.t. pose/points.
 
     Returns (sdf, feat, xyz_feature, r, h, grad) like
     sdf_hand_value_feat_grad — r and h are None (the reference color
@@ -505,6 +510,7 @@ def sdf_hand_value_feat_grad_full(
         d_hidden=cfg.d_hidden, n_layers=len(cfg.dims) - 1,
         skip=cfg.skip_in[0], d_out=cfg.d_out,
         dtype="bf16" if cfg.trunk_dtype == "bf16" else "f32",
+        want_dw=not frozen,
     )
     out, grad, e = hand_fine_full(pts, rotT, off, ws, bs, meta, block,
                                   interpret)
@@ -534,11 +540,17 @@ def hand_fine_color_apply(
     t_pose_21: jnp.ndarray,
     block: int = 128,
     interpret: bool = False,
+    frozen: bool = False,
 ):
     """(sdf, grad, color) via the COLOR-fused fine pass
     (ops/fused_fine_full.hand_fine_color): embedding, trunk, spatial
     gradient AND the 4x256 color net in one kernel — the embedding and
-    features never touch HBM.  params = {'sdf': .., 'color': ..}."""
+    features never touch HBM.  params = {'sdf': .., 'color': ..}.
+
+    frozen=True (the pose-fitting stage): the backward kernel skips the
+    23 dW = X^T dY matmuls and their f32 VMEM accumulators and returns
+    ZERO cotangents for the net params — only pose/point gradients are
+    valid in this mode."""
     from honerf_tpu.ops.fused_fine_full import (
         FineMeta,
         color_row_map,
@@ -559,6 +571,7 @@ def hand_fine_color_apply(
         with_color=True, c_hidden=color_cfg.d_hidden,
         c_layers=len(color_cfg.dims) - 1,
         grad_L=color_cfg.grad_multires,
+        want_dw=not frozen,
     )
     assert color_cfg.input_width == (
         meta.emb_width + (meta.d_out - 1) + 3 + 6 * meta.grad_L

@@ -332,12 +332,16 @@ def _make_fwd_kernel(meta: TrunkMeta):
     return kernel
 
 
-def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None):
+def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None,
+                     want_dw: bool = True):
     """Transposed trunk statements for one block: (de, dws, dbs).
 
     Shared by the trunk-only bwd kernel and the fully-fused op
     (fused_fine_full.py).  `fwd` optionally carries a precomputed
-    (ss, ins, ts, cs) from _kernel_fwd_body to avoid recomputing."""
+    (ss, ins, ts, cs) from _kernel_fwd_body to avoid recomputing.
+    want_dw=False (frozen nets — the pose-fitting stage) skips every
+    dW = X^T dY matmul and the db reductions, returning (de, None,
+    None); the dt/din chains still run since de feeds the pose path."""
     n, H = meta.n_layers, meta.d_hidden
     Hp = _round_up(H, _LANE)
     if fwd is None:
@@ -365,8 +369,9 @@ def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None):
         else:
             dm = dc
         dt = _mm(meta, dm, ws[l])
-        # m = t @ W^T  =>  dW_{i,o} += sum_n dm_{n,i} t_{n,o}
-        dws[l] = _mm_tn(meta, dm, ts[l])
+        if want_dw:
+            # m = t @ W^T  =>  dW_{i,o} += sum_n dm_{n,i} t_{n,o}
+            dws[l] = _mm_tn(meta, dm, ts[l])
     # ---- transpose of the forward (downward l=n-1..0) ------------------
     dz = dout
     de = jnp.zeros(e.shape, jnp.float32)
@@ -380,10 +385,13 @@ def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None):
                 da = din_next
             sig = ss[l]
             dz = da * sig + ds[l] * (BETA * sig * (1.0 - sig))
-        dws[l] = dws[l] + _mm_tn(meta, ins[l], dz)
-        dbs[l] = jnp.sum(dz, axis=0, keepdims=True)
+        if want_dw:
+            dws[l] = dws[l] + _mm_tn(meta, ins[l], dz)
+            dbs[l] = jnp.sum(dz, axis=0, keepdims=True)
         din_next = _mm_t(meta, dz, ws[l])
     de = de + din_next
+    if not want_dw:
+        return de, None, None
     return de, dws, dbs
 
 

@@ -88,6 +88,13 @@ class FineMeta(NamedTuple):
     # at n_split=2 validated on the interpret path, but measured NO win
     # for this op on v5e (27.4 vs 26.1 ms at equal sub-size) — default 1
     n_split: int = 1
+    # want_dw=False: FROZEN-NETS backward (the pose-fitting stage) —
+    # the bwd kernel skips every dW = X^T dY matmul (18 trunk + 5 color)
+    # and drops the large f32 dW accumulators from VMEM, emitting only
+    # (dp, drotT, doff).  The custom VJP then returns ZERO cotangents
+    # for ws/bs/cws/cbs — callers must not differentiate w.r.t. the
+    # weights in this mode (the fit stage never does).
+    want_dw: bool = True
 
     @property
     def emb_width(self) -> int:
@@ -459,9 +466,11 @@ def _color_fwd_block(meta: FineMeta, x, cws, cbs, with_residuals=False):
     return (color, zs, acts) if with_residuals else color
 
 
-def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None):
+def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None,
+                     want_dw: bool = True):
     """Transpose of the color MLP at cotangent dcolor.
-    Returns (dx, dcws, dcbs)."""
+    Returns (dx, dcws, dcbs); want_dw=False skips the weight grads
+    (frozen nets) and returns (dx, None, None)."""
     tm = meta.trunk_meta
     n = meta.c_layers
     if res is None:
@@ -474,13 +483,16 @@ def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None):
     dcws = [None] * n
     dcbs = [None] * n
     for l in range(n - 1, -1, -1):
-        dcws[l] = FT._mm_tn(tm, acts[l], dz)
-        dcbs[l] = jnp.sum(dz, axis=0, keepdims=True)
+        if want_dw:
+            dcws[l] = FT._mm_tn(tm, acts[l], dz)
+            dcbs[l] = jnp.sum(dz, axis=0, keepdims=True)
         da = FT._mm_t(tm, dz, cws[l])
         if l > 0:
             dz = jnp.where(zs[l - 1] > 0.0, da, 0.0)
         else:
             dx = da
+    if not want_dw:
+        return dx, None, None
     return dx, dcws, dcbs
 
 
@@ -534,7 +546,8 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     externally visible), dg8 on g (B, 8; 3 real), dthird = de_ext
     (no-color: on the e output, (B, Ep)) or dcolor (with_color,
     (B, out_pad)).
-    Returns (dp8, dws, dbs, drotT_blk, doff_blk[, dcws, dcbs])."""
+    Returns (dp8, dws, dbs, drotT_blk, doff_blk[, dcws, dcbs]);
+    with meta.want_dw=False the dws/dbs/dcws/dcbs slots are None."""
     tm = meta.trunk_meta
     E = meta.emb_width
     res = _fine_fwd_block(meta, p8, rotT, off, cut, ws, bs, cws, cbs,
@@ -543,7 +556,8 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         out, g8, _color, (st, u, chain, trunk_fwd, x, cres) = res
         # 0. color transpose -> de/dfeat/dg contributions
         dx, dcws, dcbs = _color_bwd_block(meta, x, list(cws), list(cbs),
-                                          dthird, res=cres)
+                                          dthird, res=cres,
+                                          want_dw=meta.want_dw)
         F = meta.d_out - 1
         de_ext = dx[:, :E]
         dfeat = dx[:, E:E + F]
@@ -562,7 +576,8 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
     du_pad = jnp.pad(du, ((0, 0), (0, Ep - E)))
     de_trunk, dws, dbs = FT._trunk_bwd_block(
-        tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd)
+        tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd,
+        want_dw=meta.want_dw)
     # 3. embedding-forward transpose: trunk de + external de + R adjoints
     de_total = de_trunk[:, :E] + de_ext.astype(jnp.float32)
     dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
@@ -614,6 +629,7 @@ def _make_fwd_kernel(meta: FineMeta):
 def _make_bwd_kernel(meta: FineMeta):
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
+    want_dw = meta.want_dw
 
     def kernel(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
                cut_ref, *refs):
@@ -623,12 +639,16 @@ def _make_bwd_kernel(meta: FineMeta):
         cbs = [r[:] for r in refs[2 * n + cn:2 * n + 2 * cn]]
         o = 2 * n + 2 * cn
         dp_ref = refs[o]
-        dw_refs = refs[o + 1:o + 1 + n]
-        db_refs = refs[o + 1 + n:o + 1 + 2 * n]
-        drotT_ref = refs[o + 1 + 2 * n]
-        doff_ref = refs[o + 2 + 2 * n]
-        dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
-        dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
+        if want_dw:
+            dw_refs = refs[o + 1:o + 1 + n]
+            db_refs = refs[o + 1 + n:o + 1 + 2 * n]
+            drotT_ref = refs[o + 1 + 2 * n]
+            doff_ref = refs[o + 2 + 2 * n]
+            dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
+            dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
+        else:
+            drotT_ref = refs[o + 1]
+            doff_ref = refs[o + 2]
         first = pl.program_id(0) == 0
 
         B = p_ref.shape[0]
@@ -652,12 +672,13 @@ def _make_bwd_kernel(meta: FineMeta):
                 dws, dbs, dcws, dcbs = dws_i, dbs_i, dcws_i, dcbs_i
                 drotT_blk, doff_blk = drotT_i, doff_i
             else:
-                dws = [a + b for a, b in zip(dws, dws_i)]
-                dbs = [a + b for a, b in zip(dbs, dbs_i)]
-                dcws = [a + b for a, b in zip(dcws, dcws_i)]
-                dcbs = [a + b for a, b in zip(dcbs, dcbs_i)]
                 drotT_blk = drotT_blk + drotT_i
                 doff_blk = doff_blk + doff_i
+                if want_dw:
+                    dws = [a + b for a, b in zip(dws, dws_i)]
+                    dbs = [a + b for a, b in zip(dbs, dbs_i)]
+                    dcws = [a + b for a, b in zip(dcws, dcws_i)]
+                    dcbs = [a + b for a, b in zip(dcbs, dcbs_i)]
 
         @pl.when(first)
         def _():
@@ -668,6 +689,9 @@ def _make_bwd_kernel(meta: FineMeta):
         def _():
             drotT_ref[:] += drotT_blk
             doff_ref[:] += doff_blk
+
+        if not want_dw:
+            return
 
         for l in range(n):
             @pl.when(first)
@@ -777,23 +801,32 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
     third_width = _LANE if meta.with_color else Ep
-    out_shapes = (
-        [jax.ShapeDtypeStruct((N, _LANE), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
-        + [jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
-           jax.ShapeDtypeStruct(off.shape, jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in cwps]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in cbps]
-    )
-    out_specs = (
-        [_rows(block, _LANE)]
-        + [_const(w.shape) for w in wps]
-        + [_const(b.shape) for b in bps]
-        + [_const(rotT.shape), _const(off.shape)]
-        + [_const(w.shape) for w in cwps]
-        + [_const(b.shape) for b in cbps]
-    )
+    if meta.want_dw:
+        out_shapes = (
+            [jax.ShapeDtypeStruct((N, _LANE), jnp.float32)]
+            + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
+            + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
+            + [jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
+               jax.ShapeDtypeStruct(off.shape, jnp.float32)]
+            + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in cwps]
+            + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in cbps]
+        )
+        out_specs = (
+            [_rows(block, _LANE)]
+            + [_const(w.shape) for w in wps]
+            + [_const(b.shape) for b in bps]
+            + [_const(rotT.shape), _const(off.shape)]
+            + [_const(w.shape) for w in cwps]
+            + [_const(b.shape) for b in cbps]
+        )
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
+            jax.ShapeDtypeStruct(off.shape, jnp.float32),
+        ]
+        out_specs = [_rows(block, _LANE), _const(rotT.shape),
+                     _const(off.shape)]
     outs = pl.pallas_call(
         _make_bwd_kernel(meta),
         out_shape=tuple(out_shapes),
@@ -823,6 +856,8 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
         interpret=interpret,
     )(p8, dout, dg, dthird, rotT, off, cut, *wps, *bps, *cwps, *cbps)
     dp = outs[0]
+    if not meta.want_dw:
+        return dp, (), (), outs[1], outs[2], (), ()
     dws = outs[1:1 + n]
     dbs = outs[1 + n:1 + 2 * n]
     drotT, doff = outs[1 + 2 * n], outs[2 + 2 * n]
@@ -901,6 +936,13 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
         p8, dout_p, dg_p, dthird_p, rotT.astype(jnp.float32),
         off.astype(jnp.float32), cut, wps, bps, cwps, cbps, meta, block,
         interpret)
+    if not meta.want_dw:
+        # frozen nets: weight cotangents are ZERO by contract
+        zw = tuple(jnp.zeros_like(w) for w in ws)
+        zb = tuple(jnp.zeros_like(b) for b in bs)
+        zcw = tuple(jnp.zeros_like(w) for w in cws)
+        zcb = tuple(jnp.zeros_like(b) for b in cbs)
+        return dp[:N, :3], drotT, doff, zw, zb, zcw, zcb
     dims = FT._dims(meta.trunk_meta)
     H = meta.d_hidden
     Hp = _round_up(H, _LANE)

@@ -147,14 +147,18 @@ def make_hand_field(
 
             assert_fused_ladder_ok(interpret)
 
-        if impl == "full":
-            # color-fused: (sdf, grad, color) straight from the kernel
+        if impl in ("full", "full_frozen"):
+            # color-fused: (sdf, grad, color) straight from the kernel.
+            # 'full_frozen' (pose fitting, frozen nets) additionally
+            # skips all weight-gradient work in the backward kernel —
+            # net-param cotangents come back as ZEROS by contract, so it
+            # must only be used where the nets are not differentiated.
             from honerf_tpu.models.fields import hand_fine_color_apply
 
             def full_fn(pts, dirs):
                 return hand_fine_color_apply(
                     params, sdf_cfg, color_cfg, pts, bt_inv, t_pose_21,
-                    interpret=interpret,
+                    interpret=interpret, frozen=(impl == "full_frozen"),
                 )
 
         else:

@@ -1,6 +1,11 @@
 """TPU bench: single-frame fit '12' device step with the fused
 differentiable fine pass OFF vs 'full' (ops/fused_fine_full.py) on the
-hand side of the dual render.
+hand side of the dual render.  make_single_fit_step upgrades 'full' to
+the 'full_frozen' no-dW kernel variant (nets are frozen in the fit
+step), so the 'full' row measures the frozen backward.
+
+Measured (v5e, bf16): OFF 26.01 ms/step; 'full' WITH wasted dW
+23.33 ms; 'full_frozen' (no-dW) — see BENCH_NOTES.
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fit_fine.py
 """

@@ -236,6 +236,93 @@ def test_integrated_render_loss_grad_parity():
     )
 
 
+def test_frozen_color_pose_grads():
+    """The 'full_frozen' (want_dw=False) kernel variant: POSE gradients
+    identical to 'full' while the net-param cotangents come back as
+    exact zeros (the fit-stage contract — nets are frozen there)."""
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import (
+        ColorConfig,
+        init_color_params,
+        init_variance_params,
+    )
+    from honerf_tpu.render import RenderConfig, render_single
+    from honerf_tpu.render.losses import mask_bce, masked_l1_color
+    from honerf_tpu.render.neus import make_hand_field
+
+    sdf_cfg, sdf_params = _small_net()
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2)
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+    }
+    joints0 = jnp.asarray(canonical_hand_joints(0.3))
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(0)
+    n_rays = 6
+    center = np.asarray(joints0.mean(0))
+    rays_o = jnp.asarray(
+        (center + [0, 0, -0.9]
+         + rng.normal(size=(n_rays, 3)) * 0.05).astype(np.float32))
+    rays_d = jnp.asarray(
+        np.tile(np.asarray([[0.0, 0, 1]], np.float32), (n_rays, 1)))
+    rcfg = RenderConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                        perturb=0.0)
+    true_rgb = jnp.asarray(
+        rng.uniform(0, 1, (n_rays, 3)).astype(np.float32))
+    true_mask = jnp.asarray(
+        (rng.uniform(0, 1, (n_rays, 1)) > 0.4).astype(np.float32))
+
+    def loss(djoints, fused):
+        joints = joints0 + djoints  # only POSE is differentiated
+        bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+        field = make_hand_field(
+            params, sdf_cfg, color_cfg, bt_inv, t_pose,
+            fused_fine=fused, interpret=True,
+        )
+        out = render_single(field, rcfg, jax.random.PRNGKey(0),
+                            rays_o, rays_d, 0.4, 1.5)
+        return (masked_l1_color(out["color_fine"], true_rgb, true_mask)
+                + mask_bce(out["weight_sum"], true_mask)
+                + out["gradient_error"])
+
+    dj0 = jnp.zeros_like(joints0)
+    l_full, gj_full = jax.value_and_grad(
+        lambda dj: loss(dj, "full"))(dj0)
+    l_froz, gj_froz = jax.value_and_grad(
+        lambda dj: loss(dj, "full_frozen"))(dj0)
+    # forward identical (same fwd kernel)
+    np.testing.assert_allclose(float(l_froz), float(l_full), atol=1e-6,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gj_froz), np.asarray(gj_full),
+                               atol=1e-5, rtol=1e-5)
+
+    # the frozen contract: weight cotangents from the op are zeros
+    from honerf_tpu.ops import fused_fine_full as FFF
+    meta = FFF.FineMeta(v_multires=3, r_multires=2, d_hidden=64,
+                        n_layers=len(sdf_cfg.dims) - 1, skip=2, d_out=65,
+                        dtype="f32", want_dw=False)
+    from honerf_tpu.models.fields import _fine_trunk_weights
+    from honerf_tpu.ops.fused_hand import pack_hand_pose
+    bt_inv = bone_transforms_from_mano_joints(joints0[None])[0]
+    rotT, off, _ = pack_hand_pose(bt_inv, t_pose)
+    ws, bs = _fine_trunk_weights(params["sdf"], sdf_cfg)
+    pts = jnp.asarray(
+        (rng.normal(size=(16, 3)) * 0.05 + center).astype(np.float32))
+
+    def wloss(ws_):
+        out, g, e = FFF.hand_fine_full(pts, rotT, off, ws_, bs, meta,
+                                       16, True)
+        return jnp.sum(out) + jnp.sum(g) + jnp.sum(e)
+
+    gws = jax.grad(wloss)(ws)
+    for gw in jax.tree.leaves(gws):
+        assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+
 def test_color_fused_fwd_matches_xla():
     """hand_fine_color_apply (interpret) == XLA full_fn (sdf, grad,
     color) on the small architecture."""
