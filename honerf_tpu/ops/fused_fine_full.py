@@ -604,9 +604,15 @@ def _make_fwd_kernel(meta: FineMeta):
         bs = [r[:] for r in refs[n:2 * n]]
         cws = [r[:] for r in refs[2 * n:2 * n + cn]]
         cbs = [r[:] for r in refs[2 * n + cn:2 * n + 2 * cn]]
-        out_ref = refs[2 * n + 2 * cn]
-        g_ref = refs[2 * n + 2 * cn + 1]
-        third_ref = refs[2 * n + 2 * cn + 2]
+        if meta.with_color:
+            # ONE packed (B, 8) output [sdf | g xyz | color rgb | 0]:
+            # three lane-padded (N, 128) outputs cost ~2 ms/step of
+            # XLA relayout slices downstream (profiled)
+            packed_ref = refs[2 * n + 2 * cn]
+        else:
+            out_ref = refs[2 * n + 2 * cn]
+            g_ref = refs[2 * n + 2 * cn + 1]
+            third_ref = refs[2 * n + 2 * cn + 2]
         B = p_ref.shape[0]
         sub = B // meta.n_split
         for i in range(meta.n_split):
@@ -615,13 +621,14 @@ def _make_fwd_kernel(meta: FineMeta):
                 meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
                 cut_ref[:], ws, bs, cws, cbs)
             if meta.with_color:
-                out_ref[rows, :] = out[:, :_LANE]  # col 0 = sdf
-                third_ref[rows, :] = third[:, :_LANE]  # color
+                packed_ref[rows, :] = jnp.concatenate(
+                    [out[:, :1], g8[:, :3], third[:, :3],
+                     jnp.zeros((out.shape[0], 1), jnp.float32)], axis=-1)
             else:
                 out_ref[rows, :] = out
                 third_ref[rows, :] = third.astype(third_ref.dtype)  # e
-            g_ref[rows, :] = jnp.pad(
-                g8, ((0, 0), (0, _LANE - g8.shape[1])))
+                g_ref[rows, :] = jnp.pad(
+                    g8, ((0, 0), (0, _LANE - g8.shape[1])))
 
     return kernel
 
@@ -631,8 +638,8 @@ def _make_bwd_kernel(meta: FineMeta):
     cn = meta.c_layers if meta.with_color else 0
     want_dw = meta.want_dw
 
-    def kernel(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
-               cut_ref, *refs):
+    def body(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
+             cut_ref, *refs):
         ws = [r[:] for r in refs[:n]]
         bs = [r[:] for r in refs[n:2 * n]]
         cws = [r[:] for r in refs[2 * n:2 * n + cn]]
@@ -655,19 +662,29 @@ def _make_bwd_kernel(meta: FineMeta):
         sub = B // meta.n_split
         dws = dbs = dcws = dcbs = None
         drotT_blk = doff_blk = None
+        OUTp = _round_up(meta.d_out, _LANE)
         for i in range(meta.n_split):
             rows = slice(i * sub, (i + 1) * sub)
+            if meta.with_color:
+                # unpack the (B, 8) [dsdf | dg | dcolor | 0] cotangent
+                dpack = dout_ref[rows, :]
+                dout_v = jnp.pad(dpack[:, :1], ((0, 0), (0, OUTp - 1)))
+                dg_v = jnp.pad(dpack[:, 1:4], ((0, 0), (0, 5)))
+                dthird_v = jnp.pad(dpack[:, 4:7],
+                                   ((0, 0), (0, _LANE - 3)))
+            else:
+                dout_v = dout_ref[rows, :]
+                dg_v = dg_ref[rows, :8]
+                dthird_v = dthird_ref[rows, :]
             res = _fine_bwd_block(
                 meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
-                cut_ref[:], ws, bs, dout_ref[rows, :],
-                dg_ref[rows, :8], dthird_ref[rows, :], cws, cbs)
+                cut_ref[:], ws, bs, dout_v, dg_v, dthird_v, cws, cbs)
             if meta.with_color:
                 dp8, dws_i, dbs_i, drotT_i, doff_i, dcws_i, dcbs_i = res
             else:
                 dp8, dws_i, dbs_i, drotT_i, doff_i = res
                 dcws_i, dcbs_i = [], []
-            dp_ref[rows, :] = jnp.pad(
-                dp8, ((0, 0), (0, _LANE - dp8.shape[1])))
+            dp_ref[rows, :] = dp8
             if i == 0:
                 dws, dbs, dcws, dcbs = dws_i, dbs_i, dcws_i, dcbs_i
                 drotT_blk, doff_blk = drotT_i, doff_i
@@ -715,6 +732,16 @@ def _make_bwd_kernel(meta: FineMeta):
                 dcw_refs[l][:] += dcws[l]
                 dcb_refs[l][:] += dcbs[l]
 
+    if meta.with_color:
+        def kernel(p_ref, dpack_ref, rotT_ref, off_ref, cut_ref, *refs):
+            body(p_ref, dpack_ref, None, None, rotT_ref, off_ref,
+                 cut_ref, *refs)
+    else:
+        def kernel(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref,
+                   off_ref, cut_ref, *refs):
+            body(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
+                 cut_ref, *refs)
+
     return kernel
 
 
@@ -753,13 +780,9 @@ def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
     flops = 4 * N * sum(w.shape[0] * w.shape[1]
                         for w in list(wps) + list(cwps))
     if meta.with_color:
-        out_shape = (
-            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # sdf col
-            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # g
-            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),   # color
-        )
-        out_specs = (_rows(block, _LANE), _rows(block, _LANE),
-                     _rows(block, _LANE))
+        # ONE packed (N, 8) output [sdf | g | color | 0]
+        out_shape = (jax.ShapeDtypeStruct((N, 8), jnp.float32),)
+        out_specs = (_rows(block, 8),)
     else:
         out_shape = (
             jax.ShapeDtypeStruct((N, op), jnp.float32),
@@ -800,10 +823,11 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
                          for w in list(wps) + list(cwps))
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
-    third_width = _LANE if meta.with_color else Ep
+    # dp is (N, 8): only 3 real columns — lane-padding it to 128 costs
+    # relayout copies downstream (profiled ~0.3 ms/step each)
     if meta.want_dw:
         out_shapes = (
-            [jax.ShapeDtypeStruct((N, _LANE), jnp.float32)]
+            [jax.ShapeDtypeStruct((N, 8), jnp.float32)]
             + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wps]
             + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bps]
             + [jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
@@ -812,7 +836,7 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
             + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in cbps]
         )
         out_specs = (
-            [_rows(block, _LANE)]
+            [_rows(block, 8)]
             + [_const(w.shape) for w in wps]
             + [_const(b.shape) for b in bps]
             + [_const(rotT.shape), _const(off.shape)]
@@ -821,21 +845,30 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
         )
     else:
         out_shapes = [
-            jax.ShapeDtypeStruct((N, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((N, 8), jnp.float32),
             jax.ShapeDtypeStruct(rotT.shape, jnp.float32),
             jax.ShapeDtypeStruct(off.shape, jnp.float32),
         ]
-        out_specs = [_rows(block, _LANE), _const(rotT.shape),
+        out_specs = [_rows(block, 8), _const(rotT.shape),
                      _const(off.shape)]
+    if meta.with_color:
+        # packed (N, 8) cotangent [dsdf | dg | dcolor | 0] — the
+        # external dout has only the sdf column, so staging a lane-
+        # padded (N, 384) dout + (N, 128) dg/dcolor wastes ~150 MB of
+        # HBM traffic per step (dout arrives via the `dout` operand)
+        ct_specs = [_rows(block, 8)]
+        ct_args = (dout,)
+    else:
+        ct_specs = [_rows(block, _round_up(meta.d_out, _LANE)),
+                    _rows(block, _LANE), _rows(block, Ep)]
+        ct_args = (dout, dg, dthird)
     outs = pl.pallas_call(
         _make_bwd_kernel(meta),
         out_shape=tuple(out_shapes),
         grid=(N // block,),
-        in_specs=([_rows(block, 8),
-                   _rows(block, _round_up(meta.d_out, _LANE)),
-                   _rows(block, _LANE), _rows(block, third_width),
-                   _const(rotT.shape), _const(off.shape),
-                   _const(cut.shape)]
+        in_specs=([_rows(block, 8)] + ct_specs
+                  + [_const(rotT.shape), _const(off.shape),
+                     _const(cut.shape)]
                   + [_const(w.shape) for w in wps]
                   + [_const(b.shape) for b in bps]
                   + [_const(w.shape) for w in cwps]
@@ -854,7 +887,7 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(p8, dout, dg, dthird, rotT, off, cut, *wps, *bps, *cwps, *cbps)
+    )(p8, *ct_args, rotT, off, cut, *wps, *bps, *cwps, *cbps)
     dp = outs[0]
     if not meta.want_dw:
         return dp, (), (), outs[1], outs[2], (), ()
@@ -896,11 +929,13 @@ def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
     wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
     cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
                   else ((), ()))
-    out, g, third = _fwd_call(p8, rotT.astype(jnp.float32),
-                              off.astype(jnp.float32), cut, wps, bps,
-                              cwps, cbps, meta, block, interpret)
+    outs = _fwd_call(p8, rotT.astype(jnp.float32),
+                     off.astype(jnp.float32), cut, wps, bps,
+                     cwps, cbps, meta, block, interpret)
     if meta.with_color:
-        return out[:N, 0], g[:N, :3], third[:N, :3], cut
+        packed = outs[0]
+        return packed[:N, 0], packed[:N, 1:4], packed[:N, 4:7], cut
+    out, g, third = outs
     E = meta.emb_width
     return (out[:N, :meta.d_out], g[:N, :3],
             third[:N, :E].astype(jnp.float32), cut)
@@ -923,12 +958,22 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
     Np = _round_up(max(N, block), block)
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
-    dout_p = jnp.pad(dout_full.astype(jnp.float32),
-                     ((0, Np - N), (0, op - meta.d_out)))
-    dg_p = jnp.pad(dg.astype(jnp.float32), ((0, Np - N), (0, _LANE - 3)))
-    tw = _LANE if meta.with_color else Ep
-    dthird_p = jnp.pad(dthird.astype(jnp.float32),
-                       ((0, Np - N), (0, tw - dthird.shape[1])))
+    if meta.with_color:
+        # pack [dsdf | dg | dcolor | 0] into ONE (Np, 8) operand
+        # (dout_full arrives as the (N, 1) sdf cotangent here)
+        dpack = jnp.concatenate(
+            [dout_full.reshape(N, 1).astype(jnp.float32),
+             dg.astype(jnp.float32), dthird.astype(jnp.float32),
+             jnp.zeros((N, 1), jnp.float32)], axis=-1)
+        dout_p = jnp.pad(dpack, ((0, Np - N), (0, 0)))
+        dg_p = dthird_p = None
+    else:
+        dout_p = jnp.pad(dout_full.astype(jnp.float32),
+                         ((0, Np - N), (0, op - meta.d_out)))
+        dg_p = jnp.pad(dg.astype(jnp.float32),
+                       ((0, Np - N), (0, _LANE - 3)))
+        dthird_p = jnp.pad(dthird.astype(jnp.float32),
+                           ((0, Np - N), (0, Ep - dthird.shape[1])))
     wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
     cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
                   else ((), ()))
@@ -994,11 +1039,10 @@ def _vjp_color_bwd(meta, block, interpret, res, cts):
     pts, rotT, off, ws, bs, cws, cbs = res
     dsdf, dg, dcolor = cts
     N = pts.shape[0]
-    dout_full = jnp.zeros((N, meta.d_out)).at[:, 0].set(dsdf)
-    dcolor_p = dcolor  # (N, 3)
+    # with_color packs [dsdf | dg | dcolor] — no (N, d_out) staging
     dp, drotT, doff, dws, dbs, dcws, dcbs = _bwd_padded(
-        meta, block, interpret, pts, rotT, off, ws, bs, dout_full, dg,
-        dcolor_p, cws, cbs)
+        meta, block, interpret, pts, rotT, off, ws, bs,
+        dsdf.reshape(N, 1), dg, dcolor, cws, cbs)
     return (dp, drotT, doff, dws, dbs, dcws, dcbs)
 
 

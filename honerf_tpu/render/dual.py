@@ -28,6 +28,7 @@ from honerf_tpu.render.neus import (
     sdf_to_alpha,
 )
 from honerf_tpu.render.sampling import (
+    merge_sorted,
     merge_z_vals,
     neus_upsample_weights,
     sample_pdf_det,
@@ -74,8 +75,11 @@ def dual_hierarchical_z_vals(
         )
         z_obj, sdf_obj = merge_z_vals(z_obj, new_o, sdf_obj, new_sdf_o)
 
-        z_union = jnp.concatenate([z_union, new_h, new_o], axis=-1)
-    return jax.lax.stop_gradient(jnp.sort(z_union, axis=-1))
+        # union stays sorted by merging (bitonic merge network, not a
+        # generic sort): new_h/new_o are each monotone inverse-CDF draws
+        new_ho, _ = merge_sorted(new_h, new_o)
+        z_union, _ = merge_sorted(z_union, new_ho)
+    return jax.lax.stop_gradient(z_union)
 
 
 def render_dual(

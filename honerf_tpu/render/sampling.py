@@ -85,6 +85,61 @@ def neus_upsample_weights(
     return alpha * trans
 
 
+def _bitonic_merge(z: jnp.ndarray, carry: jnp.ndarray | None):
+    """Sort a BITONIC last axis (length L = power of two) with the
+    classic log2(L)-stage compare-exchange butterfly, optionally moving a
+    carry array (sdf) along with its z.  Pure elementwise min/max/select
+    — XLA fuses the whole network into one kernel, unlike the generic
+    multi-operand sort that `argsort` + `take_along_axis` lowers to
+    (measured 2.7 ms/step of the 24 ms offline hand step)."""
+    L = z.shape[-1]
+    assert L & (L - 1) == 0, "bitonic length must be a power of two"
+    lane = jnp.arange(L)
+    d = L // 2
+    while d >= 1:
+        shp = z.shape[:-1] + (L // (2 * d), 2, d)
+        pz = z.reshape(shp)[..., ::-1, :].reshape(z.shape)  # z[i ^ d]
+        upper = (lane & d).astype(bool)
+        if carry is not None:
+            pc = carry.reshape(shp)[..., ::-1, :].reshape(carry.shape)
+            # each lane keeps its own (z, carry) PAIR or takes the
+            # partner's; ties keep own on both sides (no swap)
+            keep = jnp.where(upper, z >= pz, z <= pz)
+            carry = jnp.where(keep, carry, pc)
+        z = jnp.where(upper, jnp.maximum(z, pz), jnp.minimum(z, pz))
+        d //= 2
+    return z, carry
+
+
+def merge_sorted(
+    z_a: jnp.ndarray,
+    z_b: jnp.ndarray,
+    sdf_a: jnp.ndarray | None = None,
+    sdf_b: jnp.ndarray | None = None,
+):
+    """Merge two per-ray SORTED z arrays (last axis ascending), carrying
+    sdf along.  concat(A ascending, +inf pad, B descending) is bitonic,
+    so a log2-stage butterfly sorts it — the pads land at the tail and
+    are sliced off."""
+    S, n = z_a.shape[-1], z_b.shape[-1]
+    total = S + n
+    L = 1 << (total - 1).bit_length()
+    pad_shape = z_a.shape[:-1] + (L - total,)
+    z = jnp.concatenate(
+        [z_a, jnp.full(pad_shape, jnp.inf, z_a.dtype), z_b[..., ::-1]],
+        axis=-1,
+    )
+    carry = None
+    if sdf_a is not None:
+        carry = jnp.concatenate(
+            [sdf_a, jnp.zeros(pad_shape, sdf_a.dtype), sdf_b[..., ::-1]],
+            axis=-1,
+        )
+    z, carry = _bitonic_merge(z, carry)
+    z = z[..., :total]
+    return z, (None if carry is None else carry[..., :total])
+
+
 def merge_z_vals(
     z_vals: jnp.ndarray,
     new_z_vals: jnp.ndarray,
@@ -94,17 +149,15 @@ def merge_z_vals(
     """Sorted merge of existing and new z values, carrying sdf along
     (reference `cat_z_vals`, utils/renderer.py:88-105).
 
-    If new_sdf is None (the `last` step) only z is merged and sdf is
-    returned as None.
+    Both inputs are per-ray sorted (z_vals by invariant, new_z from the
+    monotone inverse-CDF of sample_pdf_det), so this is a bitonic MERGE,
+    not a sort.  If new_sdf is None (the `last` step) only z is merged
+    and sdf is returned as None.
     """
-    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_cat, axis=-1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
     if new_sdf is None:
+        z_sorted, _ = merge_sorted(z_vals, new_z_vals)
         return z_sorted, None
-    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_cat, order, axis=-1)
-    return z_sorted, sdf_sorted
+    return merge_sorted(z_vals, new_z_vals, sdf, new_sdf)
 
 
 def hierarchical_z_vals(

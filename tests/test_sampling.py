@@ -65,14 +65,67 @@ def test_upsample_weights_peak_near_surface():
 
 
 def test_merge_z_vals_sorted_and_carries_sdf(rng):
+    # both inputs per-ray sorted — the real call contract (z_vals by
+    # invariant, new_z from the monotone inverse-CDF of sample_pdf_det)
     z = jnp.sort(jnp.asarray(rng.uniform(0, 1, size=(3, 8)).astype(np.float32)), -1)
-    new_z = jnp.asarray(rng.uniform(0, 1, size=(3, 4)).astype(np.float32))
+    new_z = jnp.sort(
+        jnp.asarray(rng.uniform(0, 1, size=(3, 4)).astype(np.float32)), -1)
     sdf = z * 2.0  # recognizable mapping z -> sdf
     new_sdf = new_z * 2.0
     z_m, sdf_m = merge_z_vals(z, new_z, sdf, new_sdf)
     assert z_m.shape == (3, 12)
     np.testing.assert_allclose(np.asarray(z_m), np.sort(np.asarray(z_m), -1))
     np.testing.assert_allclose(np.asarray(sdf_m), np.asarray(z_m) * 2.0, atol=1e-6)
+
+
+def test_merge_sorted_matches_np_all_ladder_widths(rng):
+    """The bitonic merge == np.sort(concat) exactly at every width the
+    ladder uses (64+16, 80+16, 96+16, 112+16), plus non-pow2 odd sizes,
+    with the sdf carry staying paired to its z."""
+    from honerf_tpu.render.sampling import merge_sorted
+
+    for S, n in [(64, 16), (80, 16), (96, 16), (112, 16), (5, 3),
+                 (16, 16), (1, 7)]:
+        z_a = np.sort(rng.uniform(0, 1, size=(4, S)).astype(np.float32), -1)
+        z_b = np.sort(rng.uniform(0, 1, size=(4, n)).astype(np.float32), -1)
+        sdf_a = z_a * 3.0 + 1.0
+        sdf_b = z_b * 3.0 + 1.0
+        z_m, sdf_m = merge_sorted(jnp.asarray(z_a), jnp.asarray(z_b),
+                                  jnp.asarray(sdf_a), jnp.asarray(sdf_b))
+        want = np.sort(np.concatenate([z_a, z_b], -1), -1)
+        np.testing.assert_array_equal(np.asarray(z_m), want, err_msg=f"{S}+{n}")
+        np.testing.assert_allclose(np.asarray(sdf_m),
+                                   np.asarray(z_m) * 3.0 + 1.0, atol=1e-6)
+
+
+def test_merge_sorted_with_duplicates(rng):
+    """Ties across the two inputs keep (z, sdf) pairs intact."""
+    from honerf_tpu.render.sampling import merge_sorted
+
+    vals = rng.integers(0, 5, size=(2, 12)).astype(np.float32)
+    z_a = np.sort(vals[:, :8], -1)
+    z_b = np.sort(vals[:, 8:], -1)
+    z_m, sdf_m = merge_sorted(
+        jnp.asarray(z_a), jnp.asarray(z_b),
+        jnp.asarray(z_a * 2.0), jnp.asarray(z_b * 2.0))
+    np.testing.assert_array_equal(
+        np.asarray(z_m), np.sort(np.concatenate([z_a, z_b], -1), -1))
+    np.testing.assert_allclose(np.asarray(sdf_m), np.asarray(z_m) * 2.0)
+
+
+def test_sample_pdf_det_is_monotone(rng):
+    """sample_pdf_det output is per-ray nondecreasing — the precondition
+    the bitonic merge relies on — including degenerate all-tiny weights."""
+    bins = jnp.sort(
+        jnp.asarray(rng.uniform(0.4, 1.5, size=(8, 65)).astype(np.float32)), -1)
+    for w in [
+        rng.uniform(0, 1, size=(8, 64)).astype(np.float32),
+        np.zeros((8, 64), np.float32),
+        np.where(rng.uniform(size=(8, 64)) > 0.9,
+                 rng.uniform(0, 1, size=(8, 64)), 0.0).astype(np.float32),
+    ]:
+        z = np.asarray(sample_pdf_det(bins, jnp.asarray(w), 16))
+        assert (np.diff(z, axis=-1) >= 0).all()
 
 
 def test_hierarchical_z_vals_shapes_and_surface_density():
