@@ -25,7 +25,7 @@ def _read_rgb(path: str) -> np.ndarray:
 
 def main() -> None:
     from honerf_tpu.eval.image_quality import image_metrics
-    from honerf_tpu.models.vgg import load_torchvision_vgg19
+    from honerf_tpu.models.vgg import load_torchvision_vgg16
     from honerf_tpu.eval.image_quality import load_lpips_weights
 
     parser = argparse.ArgumentParser()
@@ -38,10 +38,13 @@ def main() -> None:
     parser.add_argument("--lpips_weights", default=None)
     args = parser.parse_args()
 
-    vgg_params = load_torchvision_vgg19()
+    # LPIPS backbone is VGG16 (lpips.LPIPS(net='vgg'),
+    # analys_psnr_ssim_lpips.py:44) — NOT the VGG19 the training-time
+    # VGGLoss uses
+    vgg_params = load_torchvision_vgg16()
     lpips_heads = load_lpips_weights(args.lpips_weights)
     if vgg_params is None:
-        print("note: no pretrained VGG19 weights found — LPIPS skipped")
+        print("note: no pretrained VGG16 weights found — LPIPS skipped")
 
     psnrs, ssims, lpips_vals = [], [], []
     for obj_name in sorted(os.listdir(args.gt_path)):

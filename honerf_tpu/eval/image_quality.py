@@ -3,10 +3,10 @@
 
 PSNR/SSIM are numpy implementations with skimage-compatible semantics
 (data_range=255, channel-wise SSIM with the default 7x7 uniform window and
-sample covariance); LPIPS runs a VGG backbone in JAX with loadable linear
-heads (the published LPIPS weights convert via `load_lpips_weights`; with
-no weights the unit-weight VGG feature distance is reported, flagged in the
-key name).
+sample covariance); LPIPS runs the `lpips.LPIPS(net='vgg')` VGG16 backbone
+in JAX with loadable linear heads (the published LPIPS weights convert via
+`load_lpips_weights`; with no weights the unit-weight VGG16 feature
+distance is reported, flagged in the key name).
 """
 
 from __future__ import annotations
@@ -81,7 +81,7 @@ def ssim(
 _SHIFT = np.asarray([-0.030, -0.088, -0.188], dtype=np.float32)
 _SCALE = np.asarray([0.458, 0.448, 0.450], dtype=np.float32)
 
-# VGG16-style stage channel counts used by LPIPS(net='vgg')
+# VGG16 stage channel counts used by LPIPS(net='vgg')
 LPIPS_VGG_CHANNELS = (64, 128, 256, 512, 512)
 
 
@@ -105,34 +105,45 @@ def load_lpips_weights(path: Optional[str] = None):
 
 
 def lpips_vgg(
-    vgg_params,
+    vgg16_params,
     img: np.ndarray,
     ref: np.ndarray,
     heads: Optional[List[np.ndarray]] = None,
 ) -> float:
-    """LPIPS-style perceptual distance with a VGG19 backbone in JAX.
+    """LPIPS perceptual distance with the VGG16 backbone in JAX —
+    `lpips.LPIPS(net='vgg')` semantics
+    (analys_results/analys_psnr_ssim_lpips.py:44): scaling layer, VGG16
+    relu1_2/2_2/3_3/4_3/5_3 features, per-stage channel unit-normalization
+    (x / (||x||_c + 1e-10), lpips.normalize_tensor), squared difference,
+    1x1 linear head, spatial average, sum over stages.
 
     Args:
-        vgg_params: honerf_tpu.models.vgg params (pretrained for fidelity).
-        img/ref: (H, W, 3) uint8 or float arrays in [0, 255].
-        heads: optional per-stage linear weights (published LPIPS);
-            unit weights otherwise.
+        vgg16_params: honerf_tpu.models.vgg VGG16 params (pretrained via
+            load_torchvision_vgg16 for fidelity).
+        img/ref: (H, W, 3) uint8 or float arrays in [0, 255].  The
+            reference feeds (x / 128) - 1 (analys_psnr_ssim_lpips.py:28-31).
+        heads: optional per-stage linear weights (published LPIPS v0.1);
+            unit weights otherwise (the labeled `lpips_unit_weights`
+            fallback).
     """
     import jax.numpy as jnp
 
-    from honerf_tpu.models.vgg import vgg19_stage_features
+    from honerf_tpu.models.vgg import vgg16_lpips_features
 
     def prep(x):
-        x = (np.asarray(x, np.float32) / 128.0) - 1.0  # lpips scaling
-        x = (x - _SHIFT) / _SCALE
+        x = (np.asarray(x, np.float32) / 128.0) - 1.0  # reference scaling
+        x = (x - _SHIFT) / _SCALE  # lpips ScalingLayer
         return jnp.asarray(x.transpose(2, 0, 1)[None])
 
-    fa = vgg19_stage_features(vgg_params, prep(img))
-    fb = vgg19_stage_features(vgg_params, prep(ref))
+    fa = vgg16_lpips_features(vgg16_params, prep(img))
+    fb = vgg16_lpips_features(vgg16_params, prep(ref))
     total = 0.0
     for i, (a, b) in enumerate(zip(fa, fb)):
-        na = a / jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True) + 1e-10)
-        nb = b / jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor: eps OUTSIDE the sqrt.  Eval-only (no
+        # gradient is ever taken through this metric), so the
+        # safe-norm-gradient rule does not apply here.
+        na = a / (jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True)) + 1e-10)
+        nb = b / (jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True)) + 1e-10)
         diff = (na - nb) ** 2
         if heads is not None:
             w = jnp.asarray(heads[i]).reshape(1, -1, 1, 1)
@@ -145,6 +156,7 @@ def lpips_vgg(
 def image_metrics(
     img: np.ndarray, ref: np.ndarray, vgg_params=None, lpips_heads=None
 ) -> Dict[str, float]:
+    """`vgg_params` is the VGG16 LPIPS backbone (load_torchvision_vgg16)."""
     out = {
         "psnr": psnr(img, ref, data_range=255.0),
         "ssim": ssim(img, ref, data_range=255.0),

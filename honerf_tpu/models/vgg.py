@@ -1,16 +1,25 @@
-"""VGG19 feature extractor + perceptual loss in pure JAX.
+"""VGG feature extractors + perceptual loss in pure JAX.
 
-Replaces the reference's torchvision-pretrained `VGGLoss`
-(utils/fields.py:407-433): five feature stages cut at torchvision
-`vgg19().features` indices (2, 7, 12, 21, 30), L1 distance per stage with
-unit weights, and the reference's quirks preserved — NO ImageNet
-normalization of the inputs, and the target branch is stop_gradient'ed
-(torch.no_grad, utils/fields.py:429-430).
+Two reference roles, two different backbones:
 
-Weights: `load_torchvision_vgg19` converts a torchvision vgg19 .pth into
-the params pytree; `init_vgg19_params` gives a random-init fallback so the
-loss stays runnable (shape/flow-wise) in environments without the
-pretrained file (this container has no network egress).
+* **VGG19** — the training-time `VGGLoss` (utils/fields.py:407-433): five
+  feature stages cut at torchvision `vgg19().features` indices
+  (2, 7, 12, 21, 30) — CONV outputs — L1 distance per stage with unit
+  weights, and the reference's quirks preserved: NO ImageNet normalization
+  of the inputs, and the target branch is stop_gradient'ed (torch.no_grad,
+  utils/fields.py:429-430).
+* **VGG16** — the eval-time LPIPS backbone: `lpips.LPIPS(net='vgg')`
+  (analys_results/analys_psnr_ssim_lpips.py:44) runs torchvision VGG16
+  features cut at the five RELU outputs relu1_2/2_2/3_3/4_3/5_3
+  (torchvision `vgg16().features` indices 3, 8, 15, 22, 29) with trained
+  1x1 linear heads on unit-normalized feature differences
+  (honerf_tpu.eval.image_quality.lpips_vgg).
+
+Weights: `load_torchvision_vgg19` / `load_torchvision_vgg16` convert a
+torchvision .pth into the params pytree; `init_vgg19_params` /
+`init_vgg16_params` give random-init fallbacks so the losses stay runnable
+(shape/flow-wise) in environments without the pretrained files (this
+container has no network egress).
 """
 
 from __future__ import annotations
@@ -28,16 +37,28 @@ VGG19_PLAN = [
     512, 512, 512, 512, "M", 512, 512, 512, 512, "M",
 ]
 
+# VGG16 conv plan (torchvision 'D' config) — the LPIPS backbone.
+VGG16_PLAN = [
+    64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+    512, 512, 512, "M", 512, 512, 512, "M",
+]
+
 # torchvision features-module indices at which the reference cuts stages
-# (utils/fields.py:410).
+# (utils/fields.py:410) — CONV outputs.
 FEATURE_LAYERS = (2, 7, 12, 21, 30)
 
+# lpips.LPIPS(net='vgg') slices torchvision vgg16().features at the RELU
+# outputs relu1_2/2_2/3_3/4_3/5_3: slice k runs features[prev:N) with these
+# prefix lengths (lpips/pretrained_networks.py vgg16 slices 1-5), the same
+# "output after N modules" convention FEATURE_LAYERS uses.
+LPIPS_VGG16_LAYERS = (4, 9, 16, 23, 30)
 
-def _plan_to_torch_indices() -> List[int]:
+
+def _plan_to_torch_indices(plan=VGG19_PLAN) -> List[int]:
     """torchvision index of each conv in `features` (conv,relu pairs with
     pools interleaved)."""
     idx, out = 0, []
-    for item in VGG19_PLAN:
+    for item in plan:
         if item == "M":
             idx += 1
         else:
@@ -46,12 +67,12 @@ def _plan_to_torch_indices() -> List[int]:
     return out
 
 
-def init_vgg19_params(key, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+def _init_plan_params(key, plan, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
     """He-init random conv stack (fallback when pretrained weights are
     unavailable)."""
     params = []
     c_in = 3
-    for item in VGG19_PLAN:
+    for item in plan:
         if item == "M":
             continue
         key, sub = jax.random.split(key)
@@ -62,8 +83,16 @@ def init_vgg19_params(key, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
     return params
 
 
-def load_torchvision_vgg19(path: Optional[str] = None):
-    """Convert torchvision vgg19 weights (.pth state dict) to our pytree.
+def init_vgg19_params(key, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+    return _init_plan_params(key, VGG19_PLAN, dtype)
+
+
+def init_vgg16_params(key, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+    return _init_plan_params(key, VGG16_PLAN, dtype)
+
+
+def _load_torchvision(path: Optional[str], plan, name_prefix: str):
+    """Convert torchvision VGG weights (.pth state dict) to our pytree.
     Searches the default torch hub cache when `path` is None; returns None
     if nothing is found."""
     if path is None:
@@ -73,7 +102,7 @@ def load_torchvision_vgg19(path: Optional[str] = None):
         cand = os.path.join(hub, "hub", "checkpoints")
         if os.path.isdir(cand):
             for name in sorted(os.listdir(cand)):
-                if name.startswith("vgg19") and name.endswith(".pth"):
+                if name.startswith(name_prefix) and name.endswith(".pth"):
                     path = os.path.join(cand, name)
                     break
     if path is None or not os.path.exists(path):
@@ -82,7 +111,7 @@ def load_torchvision_vgg19(path: Optional[str] = None):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     params = []
-    for t_idx in _plan_to_torch_indices():
+    for t_idx in _plan_to_torch_indices(plan):
         params.append(
             {
                 "w": jnp.asarray(sd[f"features.{t_idx}.weight"].numpy()),
@@ -90,6 +119,14 @@ def load_torchvision_vgg19(path: Optional[str] = None):
             }
         )
     return params
+
+
+def load_torchvision_vgg19(path: Optional[str] = None):
+    return _load_torchvision(path, VGG19_PLAN, "vgg19")
+
+
+def load_torchvision_vgg16(path: Optional[str] = None):
+    return _load_torchvision(path, VGG16_PLAN, "vgg16")
 
 
 def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -107,20 +144,23 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def vgg19_stage_features(
+def _stage_features(
     params: List[Dict[str, jnp.ndarray]], x: jnp.ndarray,
-    feature_layers: Sequence[int] = FEATURE_LAYERS,
+    plan, feature_layers: Sequence[int],
 ) -> List[jnp.ndarray]:
-    """Run the conv stack, returning activations at each stage boundary.
+    """Run a conv stack, returning activations at each stage boundary.
+
+    `feature_layers` are torchvision `features`-module indices; a cut may
+    fall on a conv output (VGGLoss) or a relu output (LPIPS).
 
     Args:
-        x: (N, 3, H, W) images in [0, 1] (reference feeds raw colors).
+        x: (N, 3, H, W) images.
     """
     outs = []
     conv_i = 0
     torch_idx = 0
     targets = set(feature_layers)
-    for item in VGG19_PLAN:
+    for item in plan:
         if item == "M":
             x = _maxpool2(x)
             torch_idx += 1
@@ -137,6 +177,23 @@ def vgg19_stage_features(
         if len(outs) == len(feature_layers):
             break
     return outs
+
+
+def vgg19_stage_features(
+    params: List[Dict[str, jnp.ndarray]], x: jnp.ndarray,
+    feature_layers: Sequence[int] = FEATURE_LAYERS,
+) -> List[jnp.ndarray]:
+    """VGGLoss stage activations (conv-output cuts, utils/fields.py:410)."""
+    return _stage_features(params, x, VGG19_PLAN, feature_layers)
+
+
+def vgg16_lpips_features(
+    params: List[Dict[str, jnp.ndarray]], x: jnp.ndarray,
+    feature_layers: Sequence[int] = LPIPS_VGG16_LAYERS,
+) -> List[jnp.ndarray]:
+    """LPIPS backbone activations: VGG16 relu1_2/2_2/3_3/4_3/5_3 outputs
+    (lpips.LPIPS(net='vgg'), analys_results/analys_psnr_ssim_lpips.py:44)."""
+    return _stage_features(params, x, VGG16_PLAN, feature_layers)
 
 
 def vgg_perceptual_loss(
