@@ -101,14 +101,14 @@ def _posed_hand():
     return joints, bt_inv, t_pose, np.asarray(R, np.float32)
 
 
-def _full_hand_nets(ref_fields, seed=0):
+def _full_hand_nets(ref_fields, seed=0, use_batch=False):
     import torch
 
     torch.manual_seed(seed)
     emb = _Emb()
     t_sdf = ref_fields.SDFNetwork(
         emb, 4, "real", d_in=3, d_out=257, d_hidden=256, n_layers=8,
-        skip_in=(4,), v_multires=10, r_multires=7,
+        skip_in=(4,), v_multires=10, r_multires=7, use_batch=use_batch,
     )
     t_color = ref_fields.RenderingNetwork(
         emb, "real", d_feature=256, d_in=3, d_out=3, d_hidden=256,
@@ -342,6 +342,255 @@ def test_dual_render_golden_fullsize(reference_renderer_mod):
         np.asarray(got["sdf_obj"]).reshape(-1),
         want["sdf_obj"].reshape(-1), atol=1e-3,
     )
+
+
+def _posed_hand_variant(curl: float, angle: float, seed: int):
+    """A distinct articulated+rotated hand per video frame."""
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+
+    rng = np.random.default_rng(seed)
+    joints = canonical_hand_joints(curl=curl).astype(np.float32)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    K = np.asarray([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                    [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    joints = (joints @ R.T).astype(np.float32)
+    bt_inv = np.asarray(
+        bone_transforms_from_mano_joints(jnp.asarray(joints)[None])[0]
+    )
+    t_pose = canonical_hand_joints(0.0).astype(np.float32)
+    return joints, bt_inv, t_pose, np.asarray(R, np.float32)
+
+
+@pytest.fixture(scope="module")
+def batched_video_setup(reference_renderer_mod):
+    """Shared full-size nets + a 4-frame window of distinct hand/object
+    poses for the renderer_batch.py parity tests."""
+    ref_fields, _ = reference_renderer_mod
+    sys.path.insert(0, REFERENCE)
+    try:
+        from utils import renderer_batch as ref_renderer_batch
+    finally:
+        sys.path.pop(0)
+
+    # the video fitter constructs the hand SDF net with use_batch=True
+    # (fitting_video.py:97) so anerf_emb_point_batch handles the frame axis
+    t_hand_sdf, t_hand_color, t_var_h = _full_hand_nets(
+        ref_fields, seed=4, use_batch=True
+    )
+    t_obj_sdf, t_obj_color, t_var_o = _full_obj_nets(ref_fields, seed=5)
+    renderer = ref_renderer_batch.NeuSRenderer_fitting(
+        t_hand_sdf, t_var_h, t_hand_color, t_obj_sdf, t_var_o, t_obj_color,
+        n_samples=64, n_importance=64, n_outside=0, up_sample_steps=4,
+        perturb=1.0,
+    )
+
+    F = 4
+    frames = [
+        _posed_hand_variant(curl, ang, seed)
+        for curl, ang, seed in [(0.2, 0.5, 10), (0.3, 0.7, 11),
+                                (0.4, 0.9, 12), (0.5, 1.1, 13)]
+    ]
+    joints = np.stack([f[0] for f in frames])          # (F, 21, 3)
+    bt_inv = np.stack([f[1] for f in frames])          # (F, 21, 4, 4)
+    t_pose = frames[0][2]
+    rng = np.random.default_rng(17)
+    obj_r = np.stack([f[3] for f in frames])           # (F, 3, 3)
+    obj_t = (joints.mean(1)
+             + np.asarray([0.0, 0.0, 0.05], np.float32)
+             + rng.normal(size=(F, 3)).astype(np.float32) * 0.01)
+
+    hp = _convert_triplet(t_hand_sdf, t_hand_color, t_var_h)
+    op = _convert_triplet(t_obj_sdf, t_obj_color, t_var_o)
+    return {
+        "renderer": renderer, "F": F, "joints": joints, "bt_inv": bt_inv,
+        "t_pose": t_pose, "obj_r": obj_r, "obj_t": obj_t,
+        "hand_params": hp, "obj_params": op,
+    }
+
+
+def test_batched_video_render_golden_fullsize(
+    batched_video_setup, reference_renderer_mod
+):
+    """The frame-batched video renderer — our `jax.vmap(render_dual)` over
+    the (F, R) window exactly as fit/video.py:124-138 builds it — vs the
+    reference renderers at the real architecture (VERDICT r3 #6).
+    4 frames x 8 rays, per-frame bone transforms and object poses;
+    reference takes Ro = inverse(obj_r) (fitting_video.py:280-285).
+
+    REFERENCE BUG, deliberately NOT replicated: the batched
+    `cat_z_vals` post-sort sdf gather builds its row index as
+    `arange(pixel_sample)` expanded over the batch
+    (utils/renderer_batch.py:109-111), so after flattening to
+    (B*P, S) every frame gathers FRAME 0's sdf rows — frames >= 1 run
+    their up-sample ladder on frame 0's sdf values.  Our vmapped
+    renderer is frame-correct (each frame's ladder sees its own sdf), so:
+
+      * frame 0 (where the gather is accidentally correct) is pinned
+        against the BATCHED oracle at <=1e-3 on all outputs;
+      * every frame is pinned against the SINGLE-frame
+        NeuSRenderer_fitting (utils/renderer.py — the semantics the
+        batched renderer is meant to vectorize) at <=1e-3;
+      * color/weight_sum still agree with the batched oracle across all
+        frames at <=1e-3 (the misplaced importance samples barely move
+        the composited outputs at 192 samples/ray — which is why the
+        bug is invisible in the reference's own results).
+    """
+    import torch
+
+    from honerf_tpu.models import ColorConfig, SDFConfig
+    from honerf_tpu.render import RenderConfig, rays_to_object_frame
+    from honerf_tpu.render.dual import render_dual
+    from honerf_tpu.render.neus import make_hand_field, make_obj_field
+
+    s = batched_video_setup
+    F, n_rays = s["F"], 8
+    rng = np.random.default_rng(19)
+    centers = s["joints"].mean(1)  # (F, 3)
+    rays_o = (centers[:, None]
+              + np.asarray([0, 0, -0.9], np.float32)
+              + rng.normal(size=(F, n_rays, 3)) * 0.05).astype(np.float32)
+    rays_d = np.tile(
+        np.asarray([[[0.0, 0, 1]]], np.float32), (F, n_rays, 1)
+    )
+
+    with mock.patch.object(torch, "rand", _half_rand):
+        want = s["renderer"].render(
+            torch.from_numpy(rays_o), torch.from_numpy(rays_d), 0.4, 1.5,
+            torch.from_numpy(s["bt_inv"]),
+            torch.from_numpy(np.tile(s["t_pose"][None], (F, 1, 1))),
+            None,
+            torch.inverse(torch.from_numpy(s["obj_r"])),
+            torch.from_numpy(s["obj_t"]),
+        )
+        want = {k: v.detach().numpy() for k, v in want.items()
+                if torch.is_tensor(v)}
+
+    hand_sdf_cfg = SDFConfig(**HAND_SDF_CFG)
+    hand_color_cfg = ColorConfig(**HAND_COLOR_CFG)
+    obj_field = make_obj_field(
+        s["obj_params"], SDFConfig(**OBJ_SDF_CFG), ColorConfig(**OBJ_COLOR_CFG)
+    )
+    rcfg = RenderConfig(n_samples=64, n_importance=64, up_sample_steps=4,
+                        perturb=0.0)
+
+    def render_frame(o, d, bt, ro, to, sub):
+        hand_field = make_hand_field(
+            s["hand_params"], hand_sdf_cfg, hand_color_cfg, bt,
+            jnp.asarray(s["t_pose"]),
+        )
+        oo, do = rays_to_object_frame(o, d, ro, to)
+        return render_dual(
+            hand_field, obj_field, rcfg, sub, o, d, oo, do, 0.4, 1.5,
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(0), F)
+    got = jax.vmap(render_frame)(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(s["bt_inv"]),
+        jnp.asarray(s["obj_r"]), jnp.asarray(s["obj_t"]), keys,
+    )
+    # composited outputs agree with the batched oracle on ALL frames
+    np.testing.assert_allclose(
+        np.asarray(got["color_fine"]), want["color_fine"], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weight_sum"]).reshape(F, n_rays),
+        want["weight_sum"].reshape(F, n_rays), atol=1e-3,
+    )
+    # frame 0: the batched gather is accidentally correct -> full parity
+    n_z = want["sdf_hand"].reshape(F, -1).shape[1]
+    np.testing.assert_allclose(
+        np.asarray(got["sdf_hand"])[0].reshape(-1),
+        want["sdf_hand"].reshape(F, n_z)[0], atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["sdf_obj"])[0].reshape(-1),
+        want["sdf_obj"].reshape(F, n_z)[0], atol=1e-3,
+    )
+
+    # every frame vs the SINGLE-frame oracle (the intended semantics)
+    ref_fields, ref_renderer = reference_renderer_mod
+    t_hand_sdf, t_hand_color, t_var_h = _full_hand_nets(ref_fields, seed=4)
+    t_obj_sdf, t_obj_color, t_var_o = _full_obj_nets(ref_fields, seed=5)
+    single = ref_renderer.NeuSRenderer_fitting(
+        t_hand_sdf, t_var_h, t_hand_color, t_obj_sdf, t_var_o, t_obj_color,
+        n_samples=64, n_importance=64, n_outside=0, up_sample_steps=4,
+        perturb=1.0,
+    )
+    for f in range(F):
+        with mock.patch.object(torch, "rand", _half_rand):
+            w = single.render(
+                torch.from_numpy(rays_o[f]), torch.from_numpy(rays_d[f]),
+                0.4, 1.5,
+                torch.from_numpy(s["bt_inv"][f]),
+                torch.from_numpy(s["t_pose"]), None,
+                torch.from_numpy(s["obj_r"][f]).T,
+                torch.from_numpy(s["obj_t"][f]),
+            )
+            w = {k: v.detach().numpy() for k, v in w.items()
+                 if torch.is_tensor(v)}
+        np.testing.assert_allclose(
+            np.asarray(got["color_fine"])[f], w["color_fine"], atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["sdf_hand"])[f].reshape(-1),
+            w["sdf_hand"].reshape(-1), atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["sdf_obj"])[f].reshape(-1),
+            w["sdf_obj"].reshape(-1), atol=1e-3,
+        )
+
+
+def test_stable_loss_cross_golden_fullsize(batched_video_setup):
+    """get_stable_loss_cross at the real architecture and a realistic V'
+    (4 frames x 800 verts -> ::10 = 80 in-loss verts) vs the torch oracle
+    (utils/renderer_batch.py:318-371), with our hand SDF evaluated exactly
+    as fit/video.py:212-224 does (VERDICT r3 #6)."""
+    import torch
+
+    from honerf_tpu.models import ColorConfig, SDFConfig
+    from honerf_tpu.render.losses import stable_loss_cross
+    from honerf_tpu.render.neus import make_hand_field
+
+    s = batched_video_setup
+    F = s["F"]
+    rng = np.random.default_rng(23)
+    # object-local verts scaled to straddle the hand surface once posed
+    verts = (rng.normal(size=(800, 3)) * 0.06).astype(np.float32)
+
+    want = s["renderer"].get_stable_loss_cross(
+        torch.from_numpy(np.tile(verts[None], (F, 1, 1))),
+        torch.from_numpy(s["bt_inv"]),
+        torch.from_numpy(np.tile(s["t_pose"][None], (F, 1, 1))),
+        torch.from_numpy(s["obj_r"]), torch.from_numpy(s["obj_t"]),
+    )
+    want = float(want)
+    # the quirk paths must actually engage for this to pin anything
+    assert want > 0, "fixture produced no cross-frame penetration"
+
+    hand_sdf_cfg = SDFConfig(**HAND_SDF_CFG)
+    hand_color_cfg = ColorConfig(**HAND_COLOR_CFG)
+    verts_ds = jnp.asarray(verts[::10])
+    world_v = (
+        jnp.einsum("fij,vj->fvi", jnp.asarray(s["obj_r"]), verts_ds)
+        + jnp.asarray(s["obj_t"])[:, None]
+    )
+
+    def hand_sdf_frame(pts, bt):
+        hand_field = make_hand_field(
+            s["hand_params"], hand_sdf_cfg, hand_color_cfg, bt,
+            jnp.asarray(s["t_pose"]),
+        )
+        return hand_field.sdf_fn(pts)
+
+    hand_sdf_v = jax.vmap(hand_sdf_frame)(
+        world_v, jnp.asarray(s["bt_inv"])
+    )
+    got = float(stable_loss_cross(hand_sdf_v.reshape(F, -1), verts_ds))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
 
 def test_geometric_init_zero_pattern_fullsize(reference_renderer_mod):
