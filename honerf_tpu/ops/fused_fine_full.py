@@ -982,11 +982,21 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
         off.astype(jnp.float32), cut, wps, bps, cwps, cbps, meta, block,
         interpret)
     if not meta.want_dw:
-        # frozen nets: weight cotangents are ZERO by contract
-        zw = tuple(jnp.zeros_like(w) for w in ws)
-        zb = tuple(jnp.zeros_like(b) for b in bs)
-        zcw = tuple(jnp.zeros_like(w) for w in cws)
-        zcb = tuple(jnp.zeros_like(b) for b in cbs)
+        # frozen nets: weight cotangents are ZERO by contract.  With
+        # HONERF_DEBUG_FROZEN_NAN=1 they are NaN-poisoned instead so a
+        # caller that accidentally differentiates w.r.t. the weights in
+        # frozen mode fails loudly rather than training on silent zeros
+        # (ADVICE r3; tests/test_fused_fine_full.py pins both modes).
+        import os
+
+        fill = (
+            float("nan") if os.environ.get("HONERF_DEBUG_FROZEN_NAN")
+            else 0.0
+        )
+        zw = tuple(jnp.full_like(w, fill) for w in ws)
+        zb = tuple(jnp.full_like(b, fill) for b in bs)
+        zcw = tuple(jnp.full_like(w, fill) for w in cws)
+        zcb = tuple(jnp.full_like(b, fill) for b in cbs)
         return dp[:N, :3], drotT, doff, zw, zb, zcw, zcb
     dims = FT._dims(meta.trunk_meta)
     H = meta.d_hidden

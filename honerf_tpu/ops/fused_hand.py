@@ -102,7 +102,14 @@ def assert_fused_ladder_ok(interpret: bool = False) -> None:
 def _assert_not_batched(pts) -> None:
     """Refuse vmap misuse at trace time: the fused call severs gradients
     and its batching semantics are unexercised — the frame-batched fit
-    step must use the XLA ladder (fit/single.py)."""
+    step must use the XLA ladder (fit/single.py).
+
+    ADVISORY, not a guarantee (ADVICE r3): this catches a BatchTracer from
+    direct `vmap(fn)` tracing, but `vmap(jit(fn))` batches through the
+    pjit rule without a BatchTracer ever reaching this frame.  The
+    runners never build that composition (the batched fit step selects
+    the XLA ladder before jitting), so the check is a tripwire for new
+    call sites, not the enforcement mechanism."""
     try:  # moved to a private module in newer jax; fall back to the name
         from jax._src.interpreters.batching import BatchTracer
         is_batched = isinstance(pts, BatchTracer)

@@ -111,6 +111,27 @@ def _bitonic_merge(z: jnp.ndarray, carry: jnp.ndarray | None):
     return z, carry
 
 
+def _debug_check_sorted(name: str, z) -> None:
+    """HONERF_DEBUG_SORTED=1: assert a CONCRETE input is per-ray
+    non-decreasing (ADVICE r3 — the bitonic merge silently mis-orders
+    unsorted inputs, unlike the argsort it replaced).  Tracers are
+    skipped; tests exercise the eager path."""
+    import os
+
+    if not os.environ.get("HONERF_DEBUG_SORTED"):
+        return
+    if isinstance(z, jax.core.Tracer):
+        return
+    import numpy as np
+
+    zn = np.asarray(z)
+    if not (np.diff(zn, axis=-1) >= 0).all():
+        raise ValueError(
+            f"merge_sorted precondition violated: `{name}` is not "
+            "per-ray non-decreasing on the last axis"
+        )
+
+
 def merge_sorted(
     z_a: jnp.ndarray,
     z_b: jnp.ndarray,
@@ -120,7 +141,17 @@ def merge_sorted(
     """Merge two per-ray SORTED z arrays (last axis ascending), carrying
     sdf along.  concat(A ascending, +inf pad, B descending) is bitonic,
     so a log2-stage butterfly sorts it — the pads land at the tail and
-    are sliced off."""
+    are sliced off.
+
+    PRECONDITION: both z_a and z_b must already be non-decreasing along
+    the last axis (unlike the argsort-based merge this replaced, which
+    tolerated arbitrary order).  Callers satisfy it by construction:
+    z_vals stays sorted by ladder invariant and new z comes from the
+    monotone inverse CDF of sample_pdf_det.  Violations produce
+    mis-ordered output with NO error — set HONERF_DEBUG_SORTED=1 to
+    check concrete inputs (ADVICE r3)."""
+    _debug_check_sorted("z_a", z_a)
+    _debug_check_sorted("z_b", z_b)
     S, n = z_a.shape[-1], z_b.shape[-1]
     total = S + n
     L = 1 << (total - 1).bit_length()

@@ -33,6 +33,12 @@ from honerf_tpu.render.neus import (
 from honerf_tpu.train.schedule import make_lr_schedule
 from honerf_tpu.utils.transforms import rot6d_to_matrix
 
+import logging
+
+_logger = logging.getLogger(__name__)
+# fine-pass implementation selections already reported (ADVICE r3)
+_LOGGED_FINE_SELECTIONS: set = set()
+
 Params = Dict[str, Any]
 
 
@@ -138,18 +144,25 @@ def _render_rays_chunked(field, rcfg, tcfg, key, o, d) -> Dict[str, jnp.ndarray]
     chunk = tcfg.ray_chunk
     if not chunk or n <= chunk or n % chunk != 0:
         if chunk and n > chunk and n % chunk != 0:
-            # silent fallback to the single-dispatch program would hit the
-            # exact miscompile the chunk exists to dodge (ADVICE r2)
+            from honerf_tpu.utils.backend_probe import workarounds_enabled
+
+            # falling back to the single-dispatch program would hit the
+            # exact miscompile the chunk exists to dodge (ADVICE r2); on
+            # a backend where the workarounds are ENGAGED the fallback is
+            # KNOWN to corrupt output (silently black / NaN at >= ~1764
+            # rays), so refuse instead of warn (ADVICE r3) — a warning is
+            # too easy to miss in a long training log.
+            msg = (
+                f"ray_chunk={chunk} does not divide the ray count {n}; "
+                "the UNCHUNKED render body is miscompiled by the tunneled "
+                "TPU backend at >= ~1764 rays (BENCH_NOTES 'Known "
+                "issues').  Size host chunks as a multiple of ray_chunk."
+            )
+            if workarounds_enabled() and n >= 1764:
+                raise ValueError(msg)
             import warnings
 
-            warnings.warn(
-                f"ray_chunk={chunk} does not divide the ray count {n}; "
-                "falling back to the UNCHUNKED render body, which the "
-                "tunneled TPU backend miscompiles at >= ~1764 rays "
-                "(BENCH_NOTES 'Known issues').  Size host chunks as a "
-                "multiple of ray_chunk.",
-                stacklevel=2,
-            )
+            warnings.warn(msg, stacklevel=2)
         return render_single(
             field, rcfg, key, o, d, tcfg.near, tcfg.far,
             cumprod_seed="prev_cdf",
@@ -331,6 +344,18 @@ def hand_render_from_batch(
         )
     else:
         use_fine = False
+    # numerics-affecting selection (the auto mode switches bf16 training
+    # onto the fused Pallas fine pass): record it once per process so
+    # training logs show which implementation produced the checkpoint
+    # (ADVICE r3).  Runs at trace time, not per step.
+    sel = (use_fine or "xla-joint", bool(use_fused))
+    if sel not in _LOGGED_FINE_SELECTIONS:
+        _LOGGED_FINE_SELECTIONS.add(sel)
+        _logger.info(
+            "hand fine pass: %s (fused_ladder=%s, trunk_dtype=%s, "
+            "conf train.fused_fine=%r)",
+            sel[0], sel[1], sdf_cfg.trunk_dtype, tcfg.fused_fine,
+        )
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
         fused_ladder=use_fused, fused_fine=use_fine,

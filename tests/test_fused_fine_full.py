@@ -236,10 +236,12 @@ def test_integrated_render_loss_grad_parity():
     )
 
 
-def test_frozen_color_pose_grads():
+def test_frozen_color_pose_grads(monkeypatch):
     """The 'full_frozen' (want_dw=False) kernel variant: POSE gradients
     identical to 'full' while the net-param cotangents come back as
-    exact zeros (the fit-stage contract — nets are frozen there)."""
+    exact zeros (the fit-stage contract — nets are frozen there);
+    HONERF_DEBUG_FROZEN_NAN=1 NaN-poisons them instead so accidental
+    weight differentiation in frozen mode fails loudly (ADVICE r3)."""
     from honerf_tpu.data.synthetic import canonical_hand_joints
     from honerf_tpu.hand import bone_transforms_from_mano_joints
     from honerf_tpu.models import (
@@ -321,6 +323,12 @@ def test_frozen_color_pose_grads():
     gws = jax.grad(wloss)(ws)
     for gw in jax.tree.leaves(gws):
         assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+    # debug build: the zero cotangents become NaN poison (ADVICE r3)
+    monkeypatch.setenv("HONERF_DEBUG_FROZEN_NAN", "1")
+    gws_nan = jax.grad(wloss)(ws)
+    for gw in jax.tree.leaves(gws_nan):
+        assert np.isnan(np.asarray(gw)).all()
 
 
 def test_color_fused_fwd_matches_xla():

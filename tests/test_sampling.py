@@ -4,6 +4,7 @@ up-sample weight placement, sorted merges (SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from honerf_tpu.render import (
     hierarchical_z_vals,
@@ -160,3 +161,26 @@ def test_hierarchical_z_vals_jits():
     z0 = 0.4 + 1.1 * jnp.linspace(0, 1, 64)[None, :].repeat(R, 0)
     out = run(rays_o, rays_d, z0)
     assert out.shape == (R, 128)
+
+
+def test_merge_sorted_debug_checks_precondition(monkeypatch):
+    """HONERF_DEBUG_SORTED=1 rejects unsorted concrete inputs (ADVICE r3
+    — the bitonic merge requires both inputs non-decreasing and silently
+    mis-orders otherwise); sorted inputs still pass."""
+    from honerf_tpu.render.sampling import merge_sorted
+
+    monkeypatch.setenv("HONERF_DEBUG_SORTED", "1")
+    ok_a = jnp.asarray([[0.1, 0.4, 0.9]])
+    ok_b = jnp.asarray([[0.2, 0.5]])
+    z, _ = merge_sorted(ok_a, ok_b)
+    np.testing.assert_allclose(
+        np.asarray(z), np.sort(np.concatenate([ok_a, ok_b], -1), -1)
+    )
+    bad = jnp.asarray([[0.9, 0.1, 0.4]])
+    with pytest.raises(ValueError, match="non-decreasing"):
+        merge_sorted(bad, ok_b)
+    with pytest.raises(ValueError, match="non-decreasing"):
+        merge_sorted(ok_a, bad[..., :2])
+    # off by default: unsorted input silently mis-orders (documented)
+    monkeypatch.delenv("HONERF_DEBUG_SORTED")
+    merge_sorted(bad, ok_b)
