@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -541,6 +542,7 @@ def hand_fine_color_apply(
     block: int = 128,
     interpret: bool = False,
     frozen: bool = False,
+    layout: str = None,
 ):
     """(sdf, grad, color) via the COLOR-fused fine pass
     (ops/fused_fine_full.hand_fine_color): embedding, trunk, spatial
@@ -561,6 +563,12 @@ def hand_fine_color_apply(
     _assert_not_batched(pts)
     assert len(sdf_cfg.skip_in) == 1
     assert color_cfg.use_gradients and color_cfg.squeeze_out
+    if layout is None:
+        # embedding lane layout inside the kernel ('piece' channel-major
+        # vs the round-4 lane-aligned 'slot'); both are <=1e-3-equivalent
+        # to the XLA path by the test suite — the default tracks the
+        # faster one on the measured hardware (BENCH_NOTES round 4).
+        layout = os.environ.get("HONERF_FINE_LAYOUT", "piece")
     rotT, off, _cut = pack_hand_pose(bt_inv, t_pose_21)
     ws, bs = _fine_trunk_weights(params["sdf"], sdf_cfg)
     meta = FineMeta(
@@ -572,6 +580,7 @@ def hand_fine_color_apply(
         c_layers=len(color_cfg.dims) - 1,
         grad_L=color_cfg.grad_multires,
         want_dw=not frozen,
+        layout=layout,
     )
     assert color_cfg.input_width == (
         meta.emb_width + (meta.d_out - 1) + 3 + 6 * meta.grad_L

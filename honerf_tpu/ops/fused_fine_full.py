@@ -95,10 +95,52 @@ class FineMeta(NamedTuple):
     # for ws/bs/cws/cbs — callers must not differentiate w.r.t. the
     # weights in this mode (the fit stage never does).
     want_dw: bool = True
+    # layout='slot' (round 4): the embedding lives in lane-ALIGNED
+    # 128-wide slots instead of the packed channel-major order.  Stage
+    # values are replicated across lane groups by the constant selection
+    # matmuls (the MXU does the cross-lane movement for free) and each
+    # slot is produced by ONE full-width sin/cos with per-lane frequency
+    # constants — eliminating the ~130 unaligned 21/63-lane slices and
+    # the 37-piece concats of the piece layout.  Trunk/color weight ROWS
+    # are permuted host-side to match (slot_channel_map), so the op's
+    # public semantics are unchanged.  with_color only (the slot e is
+    # never exposed).
+    layout: str = "piece"
 
     @property
     def emb_width(self) -> int:
         return 21 * (1 + 2 * self.v_multires) + 63 * (1 + 2 * self.r_multires)
+
+    # --- slot-layout geometry (layout='slot') ---
+    # v-family: (1 + 2 v_multires) pieces of 21 lanes, 6 per 128-slot;
+    # r-family: (1 + 2 r_multires) pieces of 63 lanes, 2 per 128-slot.
+    @property
+    def v_pieces(self) -> int:
+        return 1 + 2 * self.v_multires
+
+    @property
+    def r_pieces(self) -> int:
+        return 1 + 2 * self.r_multires
+
+    @property
+    def v_slots(self) -> int:
+        return -(-self.v_pieces // 6)
+
+    @property
+    def r_slots(self) -> int:
+        return -(-self.r_pieces // 2)
+
+    @property
+    def n_slots(self) -> int:
+        return self.v_slots + self.r_slots
+
+    @property
+    def e_kernel_width(self) -> int:
+        """Width of the e section in KERNEL layout: the aligned slot
+        width for layout='slot', the logical width otherwise."""
+        if self.layout == "slot":
+            return self.n_slots * _LANE
+        return self.emb_width
 
     @property
     def trunk_meta(self) -> FT.TrunkMeta:
@@ -117,7 +159,7 @@ class FineMeta(NamedTuple):
     @property
     def color_in_kernel(self) -> int:
         """Kernel-layout color input width: e + feat + 8*gpe_blocks."""
-        return self.emb_width + (self.d_out - 1) + 8 * self.gpe_blocks
+        return self.e_kernel_width + (self.d_out - 1) + 8 * self.gpe_blocks
 
     @property
     def color_dims(self) -> Tuple[Tuple[int, int], ...]:
@@ -140,11 +182,18 @@ def color_row_map(meta: FineMeta) -> np.ndarray:
     order): [e (E) | feat (256) | g (3) | PE(g): per channel
     (sin f0..fL-1, cos f0..fL-1)].  Kernel layout replaces the 27-ch
     grad section with 8-wide blocks [g | sin_l | cos_l] whose channels
-    3..7 are junk — mapped to zero weight rows."""
+    3..7 are junk — mapped to zero weight rows.
+
+    layout='slot': the e section rows follow slot_channel_map (slot-pad
+    lanes -> -1); feat/grad sections unchanged."""
     E = meta.emb_width
     F = meta.d_out - 1
     L = meta.grad_L
-    rows = list(range(E + F))
+    if meta.layout == "slot":
+        rows = [int(c) for c in slot_channel_map(meta)]
+        rows += list(range(E, E + F))
+    else:
+        rows = list(range(E + F))
     gbase = E + F
     for blk in range(meta.gpe_blocks):
         for ch in range(8):
@@ -236,27 +285,14 @@ def _split_u(u, meta: FineMeta):
     return u_vh, u_sv, u_cv, u_rh, u_sr, u_cr
 
 
-def _emb_rev_block(st, rotT, u, meta: FineMeta):
-    """REVERSE chain: cotangent u on e -> g = (d e/d pts)^T u  (B, 8).
-
-    Also returns the chain intermediates needed by the transpose."""
-    vL, rL = meta.v_multires, meta.r_multires
+def _rev_tail(st, rotT, phi_v, a_v, b_h, phi_r, c_rr, d_h3):
+    """R5-R12 of the reverse chain — shared by the piece and slot
+    layouts (inputs are the per-family adjoints the layouts assemble
+    differently; the stage arrays in `st` carry real values in lanes
+    0..20 / 0..62 and layout-specific junk elsewhere that the S/ST
+    zero structure filters)."""
     S, ST = _sel_matrices()
-    u_vh, u_sv, u_cv, u_rh, u_sr, u_cr = _split_u(u, meta)
-    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
-    h, v, rr, h3 = st["h"], st["v"], st["rr"], st["h3"]
-    # R1/R2: v-piece adjoints
-    phi_v = u_vh + sum((2.0 ** l) * (cv[l] * u_sv[l] - sv[l] * u_cv[l])
-                       for l in range(vL))
-    a_v = h * phi_v                                        # dbar v  (21)
-    b_h = v * u_vh + sum(sv[l] * u_sv[l] + cv[l] * u_cv[l]
-                         for l in range(vL))               # dbar h
-    # R3/R4: r-piece adjoints
-    phi_r = u_rh + sum((2.0 ** l) * (cr[l] * u_sr[l] - sr[l] * u_cr[l])
-                       for l in range(rL))
-    c_rr = h3 * phi_r                                      # dbar rr (63)
-    d_h3 = rr * u_rh + sum(sr[l] * u_sr[l] + cr[l] * u_cr[l]
-                           for l in range(rL))             # dbar h3
+    v = st["v"]
     # R5
     b_h = b_h + jnp.dot(d_h3, S, preferred_element_type=jnp.float32)
     # R6/R7
@@ -278,24 +314,36 @@ def _emb_rev_block(st, rotT, u, meta: FineMeta):
     return g8, chain
 
 
-def _emb_rev_transpose_block(st, ch, rotT, u, t8, meta: FineMeta):
-    """Transpose of the reverse chain w.r.t. (u, stages, rotT) at
-    cotangent t on g.
+def _emb_rev_block(st, rotT, u, meta: FineMeta):
+    """REVERSE chain: cotangent u on e -> g = (d e/d pts)^T u  (B, 8).
 
-    Args:
-        st: forward stages; ch: reverse-chain intermediates; u: the
-        primal u; t8: (B, 8) cotangent of g (3 real cols).
-    Returns:
-        du (B, E), stage-adjoint dict (seeds for the fwd transpose),
-        drotT_partial (8, 128) from the direct g = f @ rotT^T term.
-    """
+    Also returns the chain intermediates needed by the transpose."""
     vL, rL = meta.v_multires, meta.r_multires
-    S, ST = _sel_matrices()
-    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
-    h, v, rr, h3, q, sc, w3 = (st["h"], st["v"], st["rr"], st["h3"],
-                               st["q"], st["sc"], st["w3"])
     u_vh, u_sv, u_cv, u_rh, u_sr, u_cr = _split_u(u, meta)
+    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
+    h, v, rr, h3 = st["h"], st["v"], st["rr"], st["h3"]
+    # R1/R2: v-piece adjoints
+    phi_v = u_vh + sum((2.0 ** l) * (cv[l] * u_sv[l] - sv[l] * u_cv[l])
+                       for l in range(vL))
+    a_v = h * phi_v                                        # dbar v  (21)
+    b_h = v * u_vh + sum(sv[l] * u_sv[l] + cv[l] * u_cv[l]
+                         for l in range(vL))               # dbar h
+    # R3/R4: r-piece adjoints
+    phi_r = u_rh + sum((2.0 ** l) * (cr[l] * u_sr[l] - sr[l] * u_cr[l])
+                       for l in range(rL))
+    c_rr = h3 * phi_r                                      # dbar rr (63)
+    d_h3 = rr * u_rh + sum(sr[l] * u_sr[l] + cr[l] * u_cr[l]
+                           for l in range(rL))             # dbar h3
+    return _rev_tail(st, rotT, phi_v, a_v, b_h, phi_r, c_rr, d_h3)
 
+
+def _transpose_head(st, ch, rotT, t8):
+    """T12-T5 of the reverse-chain transpose — shared by the piece and
+    slot layouts.  Returns the family-level cotangents (cb on b_h, cd on
+    d_h3, cc on c_rr, ca on a_v) plus the direct stage adjoints
+    (dq, dv, dsc, dw3) and the g = f @ rotT^T term's drotT."""
+    S, ST = _sel_matrices()
+    v, q, sc, w3 = st["v"], st["q"], st["sc"], st["w3"]
     # T12: g = f @ rotT^T
     cf = jnp.dot(t8, rotT, preferred_element_type=jnp.float32)  # chat(f)
     drotT = jnp.dot(t8.T, ch["f_q"],
@@ -321,6 +369,30 @@ def _emb_rev_transpose_block(st, ch, rotT, u, t8, meta: FineMeta):
     dw3 = dw3 + ch["c_rr"] * cf
     # T5: b += d @ S
     cd = jnp.dot(cb, ST, preferred_element_type=jnp.float32)
+    return dict(cf=cf, drotT=drotT, dq=dq, dv=dv, dsc=dsc, dw3=dw3,
+                ca=ca, cb=cb, cc=cc, cd=cd)
+
+
+def _emb_rev_transpose_block(st, ch, rotT, u, t8, meta: FineMeta):
+    """Transpose of the reverse chain w.r.t. (u, stages, rotT) at
+    cotangent t on g.
+
+    Args:
+        st: forward stages; ch: reverse-chain intermediates; u: the
+        primal u; t8: (B, 8) cotangent of g (3 real cols).
+    Returns:
+        du (B, E), stage-adjoint dict (seeds for the fwd transpose),
+        drotT_partial (8, 128) from the direct g = f @ rotT^T term.
+    """
+    vL, rL = meta.v_multires, meta.r_multires
+    sv, cv, sr, cr = st["sv"], st["cv"], st["sr"], st["cr"]
+    h, v, rr, h3 = st["h"], st["v"], st["rr"], st["h3"]
+    u_vh, u_sv, u_cv, u_rh, u_sr, u_cr = _split_u(u, meta)
+
+    hd = _transpose_head(st, ch, rotT, t8)
+    drotT = hd["drotT"]
+    dq, dv, dsc, dw3 = hd["dq"], hd["dv"], hd["dsc"], hd["dw3"]
+    ca, cb, cc, cd = hd["ca"], hd["cb"], hd["cc"], hd["cd"]
     # T4: d = rr u_rh + sum(sr u_sr + cr u_cr)
     cu_rh = rr * cd
     drr = u_rh * cd
@@ -400,6 +472,15 @@ def _emb_fwd_transpose_block(st, de, adj, cut, meta: FineMeta):
         f = 2.0 ** l
         drr = drr + f * (cr[l] * dsr[l] - sr[l] * dcr[l])
 
+    return _fwdT_tail(st, adj, dv, dh, dh3, drr)
+
+
+def _fwdT_tail(st, adj, dv, dh, dh3, drr):
+    """Stage-level tail of the embedding-forward transpose (the part
+    below the piece/slot family structure) — shared by both layouts.
+    adj carries the R-transpose's direct dq/dsc/dw3 seeds."""
+    S, ST = _sel_matrices()
+    v, q, sc, w3 = st["v"], st["q"], st["sc"], st["w3"]
     # h3 = h @ ST
     dh = dh + jnp.dot(dh3, S, preferred_element_type=jnp.float32)
     # rr = q * w3
@@ -417,6 +498,216 @@ def _emb_fwd_transpose_block(st, de, adj, cut, meta: FineMeta):
     dq = dq + 2.0 * q * jnp.dot(dv2p, ST,
                                 preferred_element_type=jnp.float32)
     return dq
+
+
+# ---------------------------------------------------------------------------
+# SLOT layout (round 4): lane-aligned embedding slots
+#
+# The piece layout's channel-major e forces ~130 unaligned 21/63-lane
+# slices/pads (_split_u x3 per backward) and two 37-piece concats per
+# block — all VPU cross-lane shuffles.  The slot layout instead:
+#   * replicates the per-bone stages across lane GROUPS via constant
+#     selection matmuls (S6/ST2 — the MXU moves lanes for free),
+#   * evaluates each 128-lane e slot with ONE sin + ONE cos over
+#     per-lane frequency constants (iota-built; Mosaic rejects captured
+#     dense constants but not iota comparisons),
+#   * permutes the trunk/color weight ROWS host-side to match
+#     (slot_channel_map), so the op's public semantics are unchanged.
+# u/de then split into 128-aligned slot VIEWS (free) and the per-piece
+# chain sums become slot-wise products + one reduction matmul.
+# v-family: 6 pieces of 21 lanes per slot; r-family: 2 pieces of 63.
+# ---------------------------------------------------------------------------
+
+def slot_channel_map(meta: FineMeta) -> np.ndarray:
+    """new kernel channel -> channel-major e index (-1 for slot pads).
+
+    Channel-major piece order (hand_embedding_flat,
+    models/embedding.py:162-172): [vh, sv_0..sv_{vL-1}, cv_0.., rrh3,
+    sr_0.., cr_0..]."""
+    rows = []
+    for k in range(meta.v_slots):
+        for lane in range(_LANE):
+            p = 6 * k + lane // 21
+            if lane < 126 and p < meta.v_pieces:
+                rows.append(p * 21 + lane % 21)
+            else:
+                rows.append(-1)
+    rbase = 21 * meta.v_pieces
+    for k in range(meta.r_slots):
+        for lane in range(_LANE):
+            p = 2 * k + lane // 63
+            if lane < 126 and p < meta.r_pieces:
+                rows.append(rbase + p * 63 + lane % 63)
+            else:
+                rows.append(-1)
+    return np.asarray(rows)
+
+
+def _slot_sel_matrices(dtype=jnp.float32):
+    """Iota-built selection/reduction matrices for the slot layout:
+      S6   q-lane space -> v2p replicated over 6 groups of 21
+      ST2  group-0 21 lanes -> 63 lanes (bone->r triple) x 2 groups
+      RED6 sum the 6 v-groups -> 21 lanes;  RED2 likewise for r
+      BRD6 broadcast 21 lanes -> 6 groups;  BRD2 63 -> 2 groups"""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    S6 = ((ii < 63) & (jj < 126) & (ii // 3 == jj % 21)).astype(dtype)
+    ST2 = ((ii < 21) & (jj < 126) & ((jj % 63) // 3 == ii)).astype(dtype)
+    RED6 = ((ii < 126) & (jj < 21) & (ii % 21 == jj)).astype(dtype)
+    RED2 = ((ii < 126) & (jj < 63) & (ii % 63 == jj)).astype(dtype)
+    BRD6 = ((ii < 21) & (jj < 126) & (jj % 21 == ii)).astype(dtype)
+    BRD2 = ((ii < 63) & (jj < 126) & (jj % 63 == ii)).astype(dtype)
+    return S6, ST2, RED6, RED2, BRD6, BRD2
+
+
+def _slot_lane_consts(meta: FineMeta):
+    """Per-slot (1, 128) lane constants: identity/sin/cos masks and the
+    PE frequency 2^l at each lane (0 where masked).  Iota-built."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    out = []
+    for fam in ("v", "r"):
+        n_slots = meta.v_slots if fam == "v" else meta.r_slots
+        per, width = (6, 21) if fam == "v" else (2, 63)
+        pieces = meta.v_pieces if fam == "v" else meta.r_pieces
+        L = meta.v_multires if fam == "v" else meta.r_multires
+        for k in range(n_slots):
+            p = per * k + lane // width
+            valid = (lane < per * width) & (p < pieces)
+            idm = (valid & (p == 0)).astype(jnp.float32)
+            sm = (valid & (p >= 1) & (p <= L)).astype(jnp.float32)
+            cm = (valid & (p > L)).astype(jnp.float32)
+            ell = jnp.where(p <= L, p - 1, p - 1 - L)
+            F = jnp.exp2(jnp.clip(ell, 0, None).astype(jnp.float32))
+            F = F * (sm + cm)
+            out.append(dict(idm=idm, sm=sm, cm=cm, F=F, F2=F * F))
+    return out
+
+
+def _slot_D(lc, s, c):
+    """d T_k / d x per lane (identity -> 1, sin -> F cos, cos -> -F sin)."""
+    return lc["idm"] + lc["F"] * (lc["sm"] * c - lc["cm"] * s)
+
+
+def _slot_D2(lc, s, c):
+    """d2 T_k / d x2 per lane (trig -> -F^2 T; identity/pad -> 0)."""
+    return -lc["F2"] * (lc["sm"] * s + lc["cm"] * c)
+
+
+def _slot_views(u, meta: FineMeta):
+    """128-aligned per-slot views of a (B, n_slots*128) array — free."""
+    return [u[:, k * _LANE:(k + 1) * _LANE] for k in range(meta.n_slots)]
+
+
+def _emb_fwd_block_slots(p8, rotT, off, cut, meta: FineMeta):
+    """Slot-layout embedding stages.  Stage arrays are REPLICATED:
+    v/sc/h over 6 lane groups of 21 (group 0 = the piece layout's
+    values), w3/rr/h3 over 2 groups of 63.  The chain tails only read
+    the real lanes (S/ST zero structure), so they are shared with the
+    piece layout."""
+    S6, ST2, RED6, RED2, BRD6, BRD2 = _slot_sel_matrices()
+    lcs = _slot_lane_consts(meta)
+    q = jnp.dot(p8, rotT, preferred_element_type=jnp.float32) + off[0, :]
+    v2p = jnp.dot(q * q, S6, preferred_element_type=jnp.float32) + EPS_V2
+    v = jnp.sqrt(v2p)                            # rep6 (126 real)
+    cut6 = jnp.dot(cut, BRD6, preferred_element_type=jnp.float32)
+    sc = jax.nn.sigmoid(CUTOFF_TAU * (v - cut6[0, :]))
+    h = 1.0 - sc
+    vrep = jnp.dot(v2p, ST2, preferred_element_type=jnp.float32)
+    w3 = jax.lax.rsqrt(vrep + EPS_V2)            # rep2 (126 real)
+    q2 = jnp.dot(q, BRD2, preferred_element_type=jnp.float32)
+    rr = q2 * w3
+    h3 = jnp.dot(h, ST2, preferred_element_type=jnp.float32)
+    SINs, COSs, Ts, es = [], [], [], []
+    for k, lc in enumerate(lcs):
+        x, gate = (v, h) if k < meta.v_slots else (rr, h3)
+        s = jnp.sin(x * lc["F"])
+        c = jnp.cos(x * lc["F"])
+        t = lc["idm"] * x + lc["sm"] * s + lc["cm"] * c
+        SINs.append(s)
+        COSs.append(c)
+        Ts.append(t)
+        es.append(t * gate)
+    e = jnp.concatenate(es, axis=-1)             # (B, n_slots*128) aligned
+    return dict(q=q, v2p=v2p, v=v, sc=sc, h=h, w3=w3, rr=rr, h3=h3,
+                SIN=SINs, COS=COSs, T=Ts, lc=lcs, e=e)
+
+
+def _emb_rev_block_slots(st, rotT, u, meta: FineMeta):
+    """Slot-layout reverse chain: the per-piece R1-R4 sums become
+    slot-wise products + one reduction matmul per family."""
+    _S6, _ST2, RED6, RED2, _B6, _B2 = _slot_sel_matrices()
+    us = _slot_views(u, meta)
+    nv = meta.v_slots
+    lcs, SIN, COS, T = st["lc"], st["SIN"], st["COS"], st["T"]
+    phi_v_p = sum(us[k] * _slot_D(lcs[k], SIN[k], COS[k])
+                  for k in range(nv))
+    b_h_p = sum(us[k] * T[k] for k in range(nv))
+    phi_r_p = sum(us[nv + k] * _slot_D(lcs[nv + k], SIN[nv + k],
+                                       COS[nv + k])
+                  for k in range(meta.r_slots))
+    d_h3_p = sum(us[nv + k] * T[nv + k] for k in range(meta.r_slots))
+    phi_v = jnp.dot(phi_v_p, RED6, preferred_element_type=jnp.float32)
+    b_h = jnp.dot(b_h_p, RED6, preferred_element_type=jnp.float32)
+    phi_r = jnp.dot(phi_r_p, RED2, preferred_element_type=jnp.float32)
+    d_h3 = jnp.dot(d_h3_p, RED2, preferred_element_type=jnp.float32)
+    a_v = st["h"] * phi_v
+    c_rr = st["h3"] * phi_r
+    return _rev_tail(st, rotT, phi_v, a_v, b_h, phi_r, c_rr, d_h3)
+
+
+def _emb_rev_transpose_block_slots(st, ch, rotT, u, t8, meta: FineMeta):
+    """Slot-layout transpose of the reverse chain.  Returns du in SLOT
+    layout (aligned concat), the adjoint dict (with per-slot dT/dD
+    instead of per-piece trig adjoints), and the direct drotT term."""
+    _S6, _ST2, _R6, _R2, BRD6, BRD2 = _slot_sel_matrices()
+    us = _slot_views(u, meta)
+    lcs, SIN, COS, T = st["lc"], st["SIN"], st["COS"], st["T"]
+    hd = _transpose_head(st, ch, rotT, t8)
+    ca, cb, cc, cd = hd["ca"], hd["cb"], hd["cc"], hd["cd"]
+    cb6 = jnp.dot(cb, BRD6, preferred_element_type=jnp.float32)
+    hca6 = jnp.dot(st["h"] * ca, BRD6, preferred_element_type=jnp.float32)
+    cd2 = jnp.dot(cd, BRD2, preferred_element_type=jnp.float32)
+    hc2 = jnp.dot(st["h3"] * cc, BRD2, preferred_element_type=jnp.float32)
+    cUs, dTs, dDs = [], [], []
+    for k in range(meta.n_slots):
+        cT, cD = (cb6, hca6) if k < meta.v_slots else (cd2, hc2)
+        D = _slot_D(lcs[k], SIN[k], COS[k])
+        cUs.append(T[k] * cT + D * cD)
+        dTs.append(us[k] * cT)
+        dDs.append(us[k] * cD)
+    du = jnp.concatenate(cUs, axis=-1)
+    adj = dict(dq=hd["dq"], dv=hd["dv"], dsc=hd["dsc"], dw3=hd["dw3"],
+               dh=ch["phi_v"] * ca, dh3=ch["phi_r"] * cc, dT=dTs, dD=dDs)
+    return du, adj, hd["drotT"]
+
+
+def _emb_fwd_transpose_block_slots(st, de, adj, cut, meta: FineMeta):
+    """Slot-layout transpose of the embedding forward, merged with the
+    R-transpose slot adjoints (adj['dT']/adj['dD']).  de is the SLOT-
+    layout e cotangent."""
+    _S6, _ST2, RED6, RED2, _B6, _B2 = _slot_sel_matrices()
+    des = _slot_views(de, meta)
+    lcs, SIN, COS, T = st["lc"], st["SIN"], st["COS"], st["T"]
+    dv_p = dh_p = drr_p = dh3_p = 0.0
+    for k in range(meta.n_slots):
+        isv = k < meta.v_slots
+        gate = st["h"] if isv else st["h3"]
+        dT = adj["dT"][k] + gate * des[k]
+        contrib = (dT * _slot_D(lcs[k], SIN[k], COS[k])
+                   + adj["dD"][k] * _slot_D2(lcs[k], SIN[k], COS[k]))
+        gate_adj = T[k] * des[k]
+        if isv:
+            dv_p = dv_p + contrib
+            dh_p = dh_p + gate_adj
+        else:
+            drr_p = drr_p + contrib
+            dh3_p = dh3_p + gate_adj
+    dv = adj["dv"] + jnp.dot(dv_p, RED6, preferred_element_type=jnp.float32)
+    dh = adj["dh"] + jnp.dot(dh_p, RED6, preferred_element_type=jnp.float32)
+    drr = jnp.dot(drr_p, RED2, preferred_element_type=jnp.float32)
+    dh3 = adj["dh3"] + jnp.dot(dh3_p, RED2,
+                               preferred_element_type=jnp.float32)
+    return _fwdT_tail(st, adj, dv, dh, dh3, drr)
 
 
 # ---------------------------------------------------------------------------
@@ -510,13 +801,21 @@ def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     reuses."""
     tm = meta.trunk_meta
     E = meta.emb_width
-    Ep = _round_up(E, _LANE)
-    st = _emb_fwd_block(p8, rotT, off, cut, meta)
-    e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
-    out, u_pad, ss, ins, ts, cs = FT._kernel_fwd_body(
-        tm, e_pad, list(ws), list(bs))
-    u = u_pad[:, :E]
-    g8, chain = _emb_rev_block(st, rotT, u, meta)
+    if meta.layout == "slot":
+        assert meta.with_color, "slot layout never exposes e"
+        st = _emb_fwd_block_slots(p8, rotT, off, cut, meta)
+        e_pad = st["e"].astype(FT._cast(tm))  # already lane-aligned
+        out, u, ss, ins, ts, cs = FT._kernel_fwd_body(
+            tm, e_pad, list(ws), list(bs))
+        g8, chain = _emb_rev_block_slots(st, rotT, u, meta)
+    else:
+        Ep = _round_up(E, _LANE)
+        st = _emb_fwd_block(p8, rotT, off, cut, meta)
+        e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
+        out, u_pad, ss, ins, ts, cs = FT._kernel_fwd_body(
+            tm, e_pad, list(ws), list(bs))
+        u = u_pad[:, :E]
+        g8, chain = _emb_rev_block(st, rotT, u, meta)
     if not meta.with_color:
         if with_residuals:
             return out, g8, e_pad, (st, u, chain, (ss, ins, ts, cs))
@@ -550,6 +849,8 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     with meta.want_dw=False the dws/dbs/dcws/dcbs slots are None."""
     tm = meta.trunk_meta
     E = meta.emb_width
+    Ek = meta.e_kernel_width
+    slot = meta.layout == "slot"
     res = _fine_fwd_block(meta, p8, rotT, off, cut, ws, bs, cws, cbs,
                           with_residuals=True)
     if meta.with_color:
@@ -559,9 +860,9 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
                                           dthird, res=cres,
                                           want_dw=meta.want_dw)
         F = meta.d_out - 1
-        de_ext = dx[:, :E]
-        dfeat = dx[:, E:E + F]
-        dgpe = dx[:, E + F:E + F + 8 * meta.gpe_blocks]
+        de_ext = dx[:, :Ek]
+        dfeat = dx[:, Ek:Ek + F]
+        dgpe = dx[:, Ek + F:Ek + F + 8 * meta.gpe_blocks]
         dg8 = dg8 + _gpe_transpose(meta, g8, dgpe)
         out_pad = dout.shape[1]
         dout = dout + jnp.pad(dfeat, ((0, 0), (1, out_pad - 1 - F)))
@@ -569,18 +870,28 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         out, g8, e_pad_out, (st, u, chain, trunk_fwd) = res
         de_ext = dthird[:, :E]
     # 1. transpose of the reverse chain at cotangent dg
-    du, adj, drotT_direct = _emb_rev_transpose_block(
-        st, chain, rotT, u, dg8, meta)
+    if slot:
+        du, adj, drotT_direct = _emb_rev_transpose_block_slots(
+            st, chain, rotT, u, dg8, meta)
+        e_pad = st["e"].astype(FT._cast(tm))
+        du_pad = du
+    else:
+        du, adj, drotT_direct = _emb_rev_transpose_block(
+            st, chain, rotT, u, dg8, meta)
+        Ep = _round_up(E, _LANE)
+        e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
+        du_pad = jnp.pad(du, ((0, 0), (0, Ep - E)))
     # 2. trunk backward with cotangents (dout, du)
-    Ep = _round_up(E, _LANE)
-    e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
-    du_pad = jnp.pad(du, ((0, 0), (0, Ep - E)))
     de_trunk, dws, dbs = FT._trunk_bwd_block(
         tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd,
         want_dw=meta.want_dw)
     # 3. embedding-forward transpose: trunk de + external de + R adjoints
-    de_total = de_trunk[:, :E] + de_ext.astype(jnp.float32)
-    dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
+    if slot:
+        de_total = de_trunk + de_ext.astype(jnp.float32)
+        dq = _emb_fwd_transpose_block_slots(st, de_total, adj, cut, meta)
+    else:
+        de_total = de_trunk[:, :E] + de_ext.astype(jnp.float32)
+        dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
     # 4. pose / point adjoints
     dp8 = jnp.dot(dq, rotT.T, preferred_element_type=jnp.float32)
     drotT_blk = drotT_direct + jnp.dot(
@@ -758,6 +1069,49 @@ def _rows(block, width):
                         memory_space=pltpu.VMEM)
 
 
+def _slot_gather_rows(w, cm_idx):
+    """Gather w's rows by the slot channel map (-1 -> a zero row)."""
+    w_ext = jnp.concatenate([w, jnp.zeros((1, w.shape[1]), w.dtype)],
+                            axis=0)
+    idx = jnp.asarray(np.where(cm_idx < 0, w.shape[0], cm_idx))
+    return w_ext[idx]
+
+
+def _slot_inverse_pos(meta: FineMeta) -> np.ndarray:
+    """pos[channel-major c] = its slot-layout row (host-side; the dW
+    un-permutation in _bwd_padded)."""
+    cmap = slot_channel_map(meta)
+    pos = np.zeros(meta.emb_width, np.int64)
+    pos[cmap[cmap >= 0]] = np.nonzero(cmap >= 0)[0]
+    return pos
+
+
+def _pad_weights_slots(ws, bs, meta: FineMeta):
+    """Slot-layout trunk weight padding: layer 0's rows (and the skip
+    layer's e rows) are PERMUTED into the slot channel order with zero
+    rows at slot pads; other layers pad exactly like FT._pad_weights."""
+    tm = meta.trunk_meta
+    H = meta.d_hidden
+    Hp = _round_up(H, _LANE)
+    cmap = slot_channel_map(meta)
+    wps, bps = [], []
+    for l, ((d_in, d_out), w, b) in enumerate(zip(FT._dims(tm), ws, bs)):
+        op = _round_up(d_out, _LANE)
+        if l == 0:
+            wp = jnp.pad(_slot_gather_rows(w, cmap),
+                         ((0, 0), (0, op - d_out)))
+        elif l == meta.skip:
+            wp = jnp.zeros((Hp + meta.e_kernel_width, op), w.dtype)
+            wp = wp.at[:H, :d_out].set(w[:H])
+            wp = wp.at[Hp:, :d_out].set(_slot_gather_rows(w[H:], cmap))
+        else:
+            ip = _round_up(d_in, _LANE)
+            wp = jnp.pad(w, ((0, ip - d_in), (0, op - d_out)))
+        wps.append(wp.astype(FT._cast(tm)))
+        bps.append(jnp.pad(b, (0, op - d_out)).astype(jnp.float32)[None, :])
+    return tuple(wps), tuple(bps)
+
+
 def _pad_color_weights(cws, cbs, meta: FineMeta):
     """Zero-pad color weights to lane multiples (kernel row layout)."""
     tm = meta.trunk_meta
@@ -926,7 +1280,11 @@ def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
     Np = _round_up(max(N, block), block)
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
-    wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
+    if meta.layout == "slot":
+        assert meta.with_color, "slot layout requires with_color"
+        wps, bps = _pad_weights_slots(ws, bs, meta)
+    else:
+        wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
     cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
                   else ((), ()))
     outs = _fwd_call(p8, rotT.astype(jnp.float32),
@@ -974,7 +1332,10 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
                        ((0, Np - N), (0, _LANE - 3)))
         dthird_p = jnp.pad(dthird.astype(jnp.float32),
                            ((0, Np - N), (0, Ep - dthird.shape[1])))
-    wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
+    if meta.layout == "slot":
+        wps, bps = _pad_weights_slots(ws, bs, meta)
+    else:
+        wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
     cwps, cbps = (_pad_color_weights(cws, cbs, meta) if meta.with_color
                   else ((), ()))
     dp, dws, dbs, drotT, doff, dcws, dcbs = _bwd_call(
@@ -1001,9 +1362,17 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
     dims = FT._dims(meta.trunk_meta)
     H = meta.d_hidden
     Hp = _round_up(H, _LANE)
+    pos = (jnp.asarray(_slot_inverse_pos(meta))
+           if meta.layout == "slot" else None)
     out_dws = []
     for l, (dw, (d_in, d_out)) in enumerate(zip(dws, dims)):
-        if l == meta.skip:
+        if meta.layout == "slot":
+            # un-permute the slot rows back to channel-major
+            if l == 0:
+                dw = dw[pos]
+            elif l == meta.skip:
+                dw = jnp.concatenate([dw[:H], dw[Hp:][pos]], axis=0)
+        elif l == meta.skip:
             dw = jnp.concatenate([dw[:H], dw[Hp:Hp + E]], axis=0)
         out_dws.append(dw[:d_in, :d_out])
     out_dbs = tuple(db[0, :d_out] for db, (_d, d_out) in zip(dbs, dims))

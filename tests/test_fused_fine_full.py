@@ -113,6 +113,101 @@ def test_emb_transposes_match_autodiff():
                                atol=2e-3, rtol=2e-3)
 
 
+SMETA = META._replace(layout="slot", with_color=True)
+
+
+def test_slot_emb_fwd_matches_flat_embedding():
+    """Slot-layout e, un-permuted via slot_channel_map, equals
+    hand_embedding_flat — and slot-pad lanes are exactly zero."""
+    from honerf_tpu.models.embedding import hand_embedding_flat
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+
+    joints = jnp.asarray(canonical_hand_joints(0.3))
+    bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rotT, off, cut, center = _pose()
+    p8 = _pts(center, 16)
+    st = FF._emb_fwd_block_slots(p8, rotT, off, cut, SMETA)
+    assert st["e"].shape[1] == SMETA.e_kernel_width
+    cmap = FF.slot_channel_map(SMETA)
+    want, _r, _h = hand_embedding_flat(
+        p8[:, :3], bt_inv, t_pose, SMETA.v_multires, SMETA.r_multires)
+    e = np.asarray(st["e"])
+    np.testing.assert_allclose(e[:, cmap >= 0][:, np.argsort(cmap[cmap >= 0])],
+                               np.asarray(want), atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(e[:, cmap < 0], 0.0)
+
+
+def test_slot_emb_reverse_chain_is_vjp():
+    """Slot-layout reverse chain g == jax.grad of sum(e_slot * u_slot)
+    w.r.t. pts (u given in slot layout)."""
+    rotT, off, cut, center = _pose()
+    p8 = _pts(center, 12)
+    rng = np.random.default_rng(2)
+    cmap = FF.slot_channel_map(SMETA)
+    u = jnp.asarray(rng.normal(
+        size=(12, SMETA.e_kernel_width)).astype(np.float32))
+    u = u * jnp.asarray((cmap >= 0).astype(np.float32))  # pads carry 0
+
+    st = FF._emb_fwd_block_slots(p8, rotT, off, cut, SMETA)
+    g8, _chain = FF._emb_rev_block_slots(st, rotT, u, SMETA)
+
+    def e_of_p(p3):
+        pp = jnp.pad(p3, ((0, 0), (0, 5)))
+        return FF._emb_fwd_block_slots(pp, rotT, off, cut, SMETA)["e"]
+
+    want = jax.grad(lambda p3: jnp.sum(e_of_p(p3) * u))(p8[:, :3])
+    np.testing.assert_allclose(np.asarray(g8[:, :3]), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_slot_emb_transposes_match_autodiff():
+    """Slot-layout composed transposes == jax.grad of the scalarized
+    (e, g) objective w.r.t. (pts, rotT, off, u) — the full second-order
+    embedding backward in the slot layout."""
+    rotT, off, cut, center = _pose()
+    n = 10
+    p8 = _pts(center, n)
+    rng = np.random.default_rng(3)
+    cmap = FF.slot_channel_map(SMETA)
+    live = jnp.asarray((cmap >= 0).astype(np.float32))
+    u = jnp.asarray(rng.normal(
+        size=(n, SMETA.e_kernel_width)).astype(np.float32)) * live
+    de_ct = jnp.asarray(rng.normal(
+        size=(n, SMETA.e_kernel_width)).astype(np.float32)) * live
+    t8 = jnp.asarray(np.pad(
+        rng.normal(size=(n, 3)).astype(np.float32), ((0, 0), (0, 5))))
+
+    def obj(p8_, rotT_, off_, u_):
+        st = FF._emb_fwd_block_slots(p8_, rotT_, off_, cut, SMETA)
+        g8, _ = FF._emb_rev_block_slots(st, rotT_, u_, SMETA)
+        return jnp.sum(st["e"] * de_ct) + jnp.sum(g8 * t8)
+
+    want = jax.grad(obj, argnums=(0, 1, 2, 3))(p8, rotT, off, u)
+
+    st = FF._emb_fwd_block_slots(p8, rotT, off, cut, SMETA)
+    _g8, chain = FF._emb_rev_block_slots(st, rotT, u, SMETA)
+    du, adj, drotT_direct = FF._emb_rev_transpose_block_slots(
+        st, chain, rotT, u, t8, SMETA)
+    dq = FF._emb_fwd_transpose_block_slots(st, de_ct, adj, cut, SMETA)
+    dp = jnp.dot(dq, rotT.T)
+    drotT = drotT_direct + jnp.dot(p8.T, dq)
+    doff = jnp.sum(dq, axis=0, keepdims=True)
+
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(want[0]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(drotT), np.asarray(want[1]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(doff), np.asarray(want[2]),
+                               atol=2e-3, rtol=2e-3)
+    # du at live lanes only (pads receive arbitrary-but-unused values
+    # multiplied into zero weight rows; autodiff sees the masked u)
+    np.testing.assert_allclose(np.asarray(du * live),
+                               np.asarray(want[3] * live),
+                               atol=2e-3, rtol=2e-3)
+
+
 SDF_CFG_SMALL = dict(kind="hand", n_layers=3, d_hidden=64, d_out=65,
                      skip_in=(2,), v_multires=3, r_multires=2)
 
@@ -236,12 +331,14 @@ def test_integrated_render_loss_grad_parity():
     )
 
 
-def test_frozen_color_pose_grads(monkeypatch):
+@pytest.mark.parametrize("layout", ["piece", "slot"])
+def test_frozen_color_pose_grads(layout, monkeypatch):
     """The 'full_frozen' (want_dw=False) kernel variant: POSE gradients
     identical to 'full' while the net-param cotangents come back as
     exact zeros (the fit-stage contract — nets are frozen there);
     HONERF_DEBUG_FROZEN_NAN=1 NaN-poisons them instead so accidental
     weight differentiation in frozen mode fails loudly (ADVICE r3)."""
+    monkeypatch.setenv("HONERF_FINE_LAYOUT", layout)
     from honerf_tpu.data.synthetic import canonical_hand_joints
     from honerf_tpu.hand import bone_transforms_from_mano_joints
     from honerf_tpu.models import (
@@ -331,9 +428,10 @@ def test_frozen_color_pose_grads(monkeypatch):
         assert np.isnan(np.asarray(gw)).all()
 
 
-def test_color_fused_fwd_matches_xla():
+@pytest.mark.parametrize("layout", ["piece", "slot"])
+def test_color_fused_fwd_matches_xla(layout):
     """hand_fine_color_apply (interpret) == XLA full_fn (sdf, grad,
-    color) on the small architecture."""
+    color) on the small architecture — both embedding lane layouts."""
     from honerf_tpu.data.synthetic import canonical_hand_joints
     from honerf_tpu.hand import bone_transforms_from_mano_joints
     from honerf_tpu.models import (
@@ -365,7 +463,7 @@ def test_color_fused_fwd_matches_xla():
     sdf_x, g_x, c_x = field_x.full_fn(pts, dirs)
     sdf_f, g_f, c_f = hand_fine_color_apply(
         params, sdf_cfg, color_cfg, pts, bt_inv, t_pose, block=32,
-        interpret=True)
+        interpret=True, layout=layout)
     np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf_x),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
@@ -374,9 +472,12 @@ def test_color_fused_fwd_matches_xla():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_color_fused_render_loss_grad_parity():
+@pytest.mark.parametrize("layout", ["piece", "slot"])
+def test_color_fused_render_loss_grad_parity(layout, monkeypatch):
     """Render-loss gradients (params + pose) through the COLOR-fused op
-    == XLA at <=1e-3 — the production 'full' mode's correctness gate."""
+    == XLA at <=1e-3 — the production 'full' mode's correctness gate,
+    in both embedding lane layouts."""
+    monkeypatch.setenv("HONERF_FINE_LAYOUT", layout)
     from honerf_tpu.data.synthetic import canonical_hand_joints
     from honerf_tpu.hand import bone_transforms_from_mano_joints
     from honerf_tpu.models import (
