@@ -1,16 +1,22 @@
 """Benchmark: offline-stage training throughput in rays/sec/chip.
 
-Measures the FULL object-model train step (hierarchical 64+64 sampling with
-4 up-sample steps, 128-sample fine pass with eikonal double-backprop,
-masked losses, Adam update) at the reference batch size of 441 rays/step —
-the workload of `exp_runner.py --mode train` on
-confs/wmask_realobj_bean.conf (SURVEY.md §6).
+Headline metric: the FLAGSHIP pose-conditioned hand model — the paper's
+actual contribution (reference `utils/fields.py:56-177`, SDFNetwork with the
+21-bone pose embedding; `exp_runner.py:127-263` hand branch).  Measures the
+FULL hand train step: HALO bone transforms, hierarchical 64+64 sampling with
+4 up-sample steps, the 128-sample fine pass (fully-fused Pallas kernel:
+embedding + 9-layer trunk + spatial gradient + color net with hand-written
+second-order backward), eikonal double-backprop, masked losses, Adam — at
+the reference batch size of 441 rays/step on
+confs/wmask_realhand_hand1.conf (SURVEY.md §6).
+
+The easier object model (reference `utils/fields.py:180-242`) is measured
+the same way and reported in the same JSON line as `obj_rays_per_sec`.
 
 Runs in the bf16-trunk fast mode (bfloat16 activations through the MLP
-trunks, f32 matmul accumulation and losses): quality-gated against f32 on
-1200-step synthetic-scene runs for both models — PSNR trajectories match
-(obj 28.6 vs 28.7, hand 27.6 vs 27.5; scripts/quality_obj_bf16.py,
-BENCH_NOTES.md "bf16 trunk fast mode").
+trunks, f32 matmul accumulation and losses): quality-gated against f32 out
+to 10k-step synthetic runs for both models — PSNR/loss AND extracted-mesh
+geometry match (BENCH_NOTES.md "Quality gates").
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  We
 normalize against an ESTIMATED 4410 rays/s for the PyTorch reference on its
@@ -18,7 +24,7 @@ RTX 3080 Ti (10 train steps/s at 441 rays — ~106k field evals + autograd
 double-backprop per step; see BASELINE.md's workload table).  vs_baseline
 is measured_rays_per_sec / 4410.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -45,7 +51,91 @@ WARMUP = 3
 ITERS = 20
 
 
-def main() -> None:
+def _measure(step, state, batch) -> float:
+    """rays/s with a value-fetch barrier (block_until_ready does not wait on
+    the tunneled TPU backend — only materializing a scalar does)."""
+    key = jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    assert np.isfinite(float(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def _common_batch(rng):
+    return {
+        "rays_xy": jnp.asarray(rng.uniform(-0.5, 0.5, (BATCH, 2)).astype(np.float32)),
+        "true_rgb": jnp.asarray(rng.uniform(0, 1, (BATCH, 3)).astype(np.float32)),
+        "true_mask": jnp.asarray(
+            (rng.uniform(0, 1, (BATCH, 1)) > 0.4).astype(np.float32)
+        ),
+        "focal": jnp.asarray([3.0, 3.0], dtype=jnp.float32),
+        "principal": jnp.zeros(2, dtype=jnp.float32),
+        "index": jnp.asarray(0, dtype=jnp.int32),
+    }
+
+
+def bench_hand() -> float:
+    """Flagship: pose-conditioned hand model at the reference architecture
+    (8x256 trunk, v_multires=10, r_multires=7, 21-bone embedding)."""
+    from honerf_tpu.data.datasets import get_bone_length
+    from honerf_tpu.data.synthetic import canonical_hand_joints, look_at_camera
+    from honerf_tpu.models import (
+        ColorConfig,
+        SDFConfig,
+        init_color_params,
+        init_sdf_params,
+        init_se3_refine,
+        init_variance_params,
+    )
+    from honerf_tpu.render import RenderConfig
+    from honerf_tpu.train import TrainHyper, init_train_state
+    from honerf_tpu.train.offline import make_hand_train_step
+
+    sdf_cfg = SDFConfig(kind="hand", r_multires=7, trunk_dtype="bf16")
+    color_cfg = ColorConfig(kind="hand", r_multires=7, trunk_dtype="bf16")
+    rcfg = RenderConfig()  # 64 + 64, up=4, perturb=1 — reference config
+    tcfg = TrainHyper(batch_size=BATCH, vgg_weight=0.0, learning_rate=1e-4)
+
+    params = {
+        "sdf": init_sdf_params(jax.random.PRNGKey(0), sdf_cfg),
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+        "se3_refine": init_se3_refine(8, "hand"),
+    }
+    state = init_train_state(params, tcfg)
+    step = jax.jit(make_hand_train_step(sdf_cfg, color_cfg, rcfg, tcfg))
+
+    rng = np.random.default_rng(0)
+    joints = canonical_hand_joints(curl=0.35).astype(np.float32)
+    axis = np.asarray([0.3, 0.8, 0.52])
+    axis /= np.linalg.norm(axis)
+    K = np.asarray(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    R3 = np.eye(3) + np.sin(0.9) * K + (1 - np.cos(0.9)) * (K @ K)
+    joints = (joints @ R3.T).astype(np.float32)
+    R, T = look_at_camera(np.asarray([0.0, 0.2, -0.9]), joints.mean(0))
+    batch = dict(
+        _common_batch(rng),
+        cam_R=jnp.asarray(R),
+        cam_T=jnp.asarray(T),
+        joints=jnp.asarray(joints),
+        t_pose_21=jnp.asarray(canonical_hand_joints(0.0)),
+        bone_length=jnp.asarray(get_bone_length(canonical_hand_joints(0.0))),
+    )
+    return _measure(step, state, batch)
+
+
+def bench_obj() -> float:
+    from honerf_tpu.data.synthetic import look_at_camera
     from honerf_tpu.models import (
         ColorConfig,
         SDFConfig,
@@ -56,11 +146,10 @@ def main() -> None:
     )
     from honerf_tpu.render import RenderConfig
     from honerf_tpu.train import TrainHyper, init_train_state, make_obj_train_step
-    from honerf_tpu.data.synthetic import look_at_camera
 
     sdf_cfg = SDFConfig(kind="obj", trunk_dtype="bf16")
     color_cfg = ColorConfig(kind="obj", trunk_dtype="bf16")
-    rcfg = RenderConfig()  # 64 + 64, up=4, perturb=1 — reference config
+    rcfg = RenderConfig()
     tcfg = TrainHyper(batch_size=BATCH, vgg_weight=0.0)
 
     params = {
@@ -74,48 +163,31 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     R, T = look_at_camera(np.asarray([0.0, 0.2, -0.9]), np.zeros(3))
-    batch = {
-        "rays_xy": jnp.asarray(rng.uniform(-0.5, 0.5, (BATCH, 2)).astype(np.float32)),
-        "true_rgb": jnp.asarray(rng.uniform(0, 1, (BATCH, 3)).astype(np.float32)),
-        "true_mask": jnp.asarray(
-            (rng.uniform(0, 1, (BATCH, 1)) > 0.4).astype(np.float32)
-        ),
-        "cam_R": jnp.asarray(R),
-        "cam_T": jnp.asarray(T),
-        "focal": jnp.asarray([3.0, 3.0], dtype=jnp.float32),
-        "principal": jnp.zeros(2, dtype=jnp.float32),
-        "Ro": jnp.eye(3),
-        "To": jnp.zeros(3),
-        "joints": jnp.zeros((21, 3)),
-        "t_pose_21": jnp.zeros((21, 3)),
-        "bone_length": jnp.zeros((20,)),
-        "index": jnp.asarray(0, dtype=jnp.int32),
-    }
+    batch = dict(
+        _common_batch(rng),
+        cam_R=jnp.asarray(R),
+        cam_T=jnp.asarray(T),
+        Ro=jnp.eye(3),
+        To=jnp.zeros(3),
+        joints=jnp.zeros((21, 3)),
+        t_pose_21=jnp.zeros((21, 3)),
+        bone_length=jnp.zeros((20,)),
+    )
+    return _measure(step, state, batch)
 
-    key = jax.random.PRNGKey(0)
-    for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    # force a VALUE fetch: on the tunneled TPU backend block_until_ready
-    # returns before the device finishes; only materializing the scalar
-    # guarantees completion (and triggers the lazy remote compile)
-    assert np.isfinite(float(metrics["loss"]))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    assert np.isfinite(float(metrics["loss"]))
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = BATCH * ITERS / dt
+def main() -> None:
+    hand = bench_hand()
+    obj = bench_obj()
     print(
         json.dumps(
             {
-                "metric": "offline_obj_train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
+                "metric": "offline_hand_train_rays_per_sec_per_chip",
+                "value": round(hand, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "vs_baseline": round(hand / BASELINE_RAYS_PER_SEC, 3),
+                "obj_rays_per_sec": round(obj, 1),
+                "obj_vs_baseline": round(obj / BASELINE_RAYS_PER_SEC, 3),
             }
         )
     )

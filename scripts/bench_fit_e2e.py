@@ -147,12 +147,17 @@ def write_full_checkpoints(exp_root: str) -> None:
                      "ckpt_000010.npz"), obj)
 
 
-def run_stage(ws: str, fit_type: str, G: int = 1) -> None:
+def run_stage(ws: str, fit_type: str, G: int = 1,
+              fused_fine: bool = False) -> None:
     from honerf_tpu.fit.runner import SingleFitRunner
 
-    conf = os.path.join(ws, f"fit_{fit_type}_g{G}.conf")
+    conf = os.path.join(ws, f"fit_{fit_type}_g{G}_{int(fused_fine)}.conf")
+    text = CONF.format(ws=ws, fit_type=fit_type, G=G)
+    if fused_fine:
+        text = text.replace("verbose_steps = true",
+                            'verbose_steps = true\n  fused_fine = "full"')
     with open(conf, "w") as f:
-        f.write(CONF.format(ws=ws, fit_type=fit_type, G=G))
+        f.write(text)
     runner = SingleFitRunner(conf, case=f"bench{fit_type}")
     times = []
     orig = runner.save_pose
@@ -196,8 +201,10 @@ def main() -> None:
     import sys
     import tempfile
 
-    G = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else N_FRAMES
+    args = [a for a in sys.argv[1:] if a != "fine"]
+    fused_fine = "fine" in sys.argv[1:]
+    G = int(args[0]) if args else 1
+    n_frames = int(args[1]) if len(args) > 1 else N_FRAMES
     ws = tempfile.mkdtemp(prefix="bench_fit_")
     from honerf_tpu.data.synthetic import generate_catch_sequence
 
@@ -206,8 +213,8 @@ def main() -> None:
         n_frames=n_frames, n_views=8, H=230, W=266,
     )
     write_full_checkpoints(os.path.join(ws, "exp"))
-    run_stage(ws, "1", G)
-    run_stage(ws, "12", G)
+    run_stage(ws, "1", G, fused_fine)
+    run_stage(ws, "12", G, fused_fine)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,14 @@
-"""Quality gate for the fused Pallas hand ladder in single-frame fitting.
+"""Quality gate for the fused Pallas paths in single-frame fitting.
 
 Runs SingleFitRunner fit '1' then '12' at the reference budget over a
-synthetic catch sequence twice — train.fused_ladder false vs true — and
+synthetic catch sequence in three modes — xla (no fused paths), ladder
+(fused hand ladder only, the round-2 default), ladder_fine (+ the
+fully-fused frozen-nets fine pass, train.fused_fine='full') — and
 compares the final GT-vs-pred convergence diagnostics per frame.  The
-ladder is non-differentiable, so only sample PLACEMENT differs (bf16
-kernel weights); pose gradients are exact either way.
+ladder is non-differentiable (sample placement only); the fused fine
+pass carries pose gradients through its hand-written VJP (validated
+<=1e-3 vs XLA, tests/test_fused_fine_full.py), so all modes must land at
+the same pose error.
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_fit_fused.py
 """
@@ -28,8 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_fit_e2e import CONF, write_full_checkpoints
 
 
-def run(fused: bool) -> dict:
-    ws = tempfile.mkdtemp(prefix=f"qfit_{fused}_")
+MODES = {
+    "xla": "  fused_ladder = false",
+    "ladder": "  fused_ladder = true",
+    "ladder_fine": '  fused_ladder = true\n  fused_fine = "full"',
+}
+
+
+def run(mode: str) -> dict:
+    ws = tempfile.mkdtemp(prefix=f"qfit_{mode}_")
     from honerf_tpu.data.synthetic import generate_catch_sequence
     from honerf_tpu.fit.runner import SingleFitRunner
 
@@ -38,13 +49,13 @@ def run(fused: bool) -> dict:
         n_frames=2, n_views=8, H=230, W=266,
     )
     write_full_checkpoints(os.path.join(ws, "exp"))
-    out = {"fused": fused}
+    out = {"mode": mode}
     for fit_type in ("1", "12"):
         conf = os.path.join(ws, f"f{fit_type}.conf")
         with open(conf, "w") as f:
             f.write(CONF.format(ws=ws, fit_type=fit_type, G=1).replace(
                 "verbose_steps = true",
-                f"verbose_steps = false\n  fused_ladder = {str(fused).lower()}",
+                "verbose_steps = false\n" + MODES[mode],
             ))
         SingleFitRunner(conf, case=f"q{fit_type}").fitting()
         pose_dir = os.path.join(ws, "fit_res", "view_8", fit_type,
@@ -60,8 +71,9 @@ def run(fused: bool) -> dict:
 
 
 def main() -> None:
-    for fused in (False, True):
-        print(json.dumps(run(fused)), flush=True)
+    modes = sys.argv[1:] or list(MODES)
+    for mode in modes:
+        print(json.dumps(run(mode)), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,187 @@
+"""30k-step production-path soak with a mid-run process restart
+(VERDICT r3 #7).
+
+Exercises the LR-schedule tail + checkpoint resume + bf16/fused-full at a
+scale between the 10k quality gates and the 300k production budget
+(reference end_iter, confs/wmask_realobj_bean.conf; schedule semantics
+exp_runner.py:266-274):
+
+  1. bf16 run, process A: steps 0 -> half (checkpoints every save_freq);
+  2. bf16 run, process B: fresh interpreter, --is_continue resume from
+     the half-way checkpoint, steps half -> total;
+  3. f32 reference run, one process, 0 -> total (sparse drift baseline).
+
+Gates:
+  * step continuity: metrics.jsonl step numbers are gapless across the
+    process seam;
+  * seam invisibility: windowed mean loss just after the resume within
+    25% of just before (the optimizer state + LR schedule survived);
+  * bf16 drift: final-window PSNR within 1.0 dB of the f32 trajectory
+    and final-window loss within 15%.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/soak_resume.py [hand|obj] [total_steps]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/honerf_jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_runner_e2e import CONF  # noqa: E402  (same full-size template)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_conf(ws: str, model_type: str, data_dir: str, total: int,
+               bf16: bool, tag: str) -> str:
+    conf_path = os.path.join(ws, f"soak_{tag}.conf")
+    save_freq = max(total // 6, 1)  # a checkpoint lands exactly at half
+    with open(conf_path, "w") as f:
+        f.write(CONF.format(
+            exp_dir=os.path.join(ws, f"exp_{tag}"),
+            data_dir=data_dir,
+            model_type=model_type,
+            lr="5e-4" if model_type == "obj" else "1e-4",
+            end_iter=total,
+            r_multires=4 if model_type == "obj" else 7,
+            trunk='trunk_dtype = "bf16"' if bf16 else "",
+        ).replace("save_freq = 1000000", f"save_freq = {save_freq}")
+         .replace("warm_up_end = 5000",
+                  f"warm_up_end = {max(total // 30, 1)}"))
+    return conf_path
+
+
+def run_stage(conf: str, stop_at: int, is_continue: bool) -> None:
+    """One training process (genuine interpreter restart per stage)."""
+    code = (
+        "import os\n"
+        "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
+        " '/tmp/honerf_jax_cache')\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.environ['JAX_COMPILATION_CACHE_DIR'])\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 10.0)\n"
+        "from honerf_tpu.train.runner import OfflineRunner\n"
+        f"r = OfflineRunner({conf!r}, mode='train',"
+        f" is_continue={is_continue})\n"
+        f"r.tcfg = r.tcfg._replace(end_iter={stop_at})\n"
+        "r.train()\n"
+        f"print('stage done at', r.iter_step)\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=7200)
+    sys.stdout.write(res.stdout[-2000:])
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr[-4000:])
+        raise RuntimeError(f"soak stage failed rc={res.returncode}")
+
+
+def load_metrics(exp_dir: str):
+    path = os.path.join(exp_dir, "logs", "metrics.jsonl")
+    steps, loss, psnr = [], [], []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            steps.append(rec["step"])
+            loss.append(rec.get("loss", np.nan))
+            psnr.append(rec.get("psnr", np.nan))
+    return np.asarray(steps), np.asarray(loss), np.asarray(psnr)
+
+
+def window_mean(steps, vals, lo, hi):
+    m = (steps >= lo) & (steps < hi)
+    return float(np.mean(vals[m])) if m.any() else float("nan")
+
+
+def main() -> None:
+    model_type = sys.argv[1] if len(sys.argv) > 1 else "hand"
+    total = int(sys.argv[2]) if len(sys.argv) > 2 else 30000
+    half = total // 2
+    ws = tempfile.mkdtemp(prefix=f"soak_{model_type}_")
+    data_dir = os.path.join(ws, "data")
+    if model_type == "obj":
+        from honerf_tpu.data.synthetic import generate_object_dataset
+
+        generate_object_dataset(data_dir, n_views=8, H=230, W=266)
+    else:
+        from honerf_tpu.data.synthetic import generate_hand_dataset
+
+        generate_hand_dataset(data_dir, n_frames=1, n_views=8, H=230, W=266)
+
+    import time
+
+    conf_bf16 = write_conf(ws, model_type, data_dir, total, True, "bf16")
+    t0 = time.perf_counter()
+    run_stage(conf_bf16, half, is_continue=False)
+    t1 = time.perf_counter()
+    print(f"process A (0 -> {half}): {t1 - t0:.0f}s", flush=True)
+    run_stage(conf_bf16, total, is_continue=True)
+    print(f"process B ({half} -> {total}, resumed): "
+          f"{time.perf_counter() - t1:.0f}s", flush=True)
+
+    conf_f32 = write_conf(ws, model_type, data_dir, total, False, "f32")
+    t2 = time.perf_counter()
+    run_stage(conf_f32, total, is_continue=False)
+    print(f"f32 reference (0 -> {total}): {time.perf_counter() - t2:.0f}s",
+          flush=True)
+
+    steps, loss, psnr = load_metrics(os.path.join(ws, "exp_bf16"))
+    fsteps, floss, fpsnr = load_metrics(os.path.join(ws, "exp_f32"))
+
+    # gate 1: gapless, monotonically increasing steps across the seam
+    uniq = np.unique(steps)
+    gapless = (len(uniq) == len(steps)
+               and uniq[0] == 1 and uniq[-1] == total
+               and len(uniq) == total)
+    print(f"step continuity: {'PASS' if gapless else 'FAIL'} "
+          f"({len(uniq)} unique steps, last={uniq[-1]})", flush=True)
+
+    # gate 2: the resume seam is invisible in the loss curve
+    w = max(total // 60, 200)
+    before = window_mean(steps, loss, half - w, half)
+    after = window_mean(steps, loss, half, half + w)
+    seam_ok = abs(after - before) <= 0.25 * abs(before)
+    print(f"resume seam: loss {before:.4f} -> {after:.4f} "
+          f"({'PASS' if seam_ok else 'FAIL'}, tolerance 25%)", flush=True)
+
+    # gate 3: no bf16 drift vs the f32 trajectory at the tail
+    tail_lo = total - max(total // 10, 1000)
+    b_loss = window_mean(steps, loss, tail_lo, total + 1)
+    f_loss = window_mean(fsteps, floss, tail_lo, total + 1)
+    b_psnr = window_mean(steps, psnr, tail_lo, total + 1)
+    f_psnr = window_mean(fsteps, fpsnr, tail_lo, total + 1)
+    drift_ok = (b_psnr >= f_psnr - 1.0) and (
+        abs(b_loss - f_loss) <= 0.15 * abs(f_loss)
+    )
+    print(f"bf16 tail vs f32: loss {b_loss:.4f} vs {f_loss:.4f}, "
+          f"psnr {b_psnr:.2f} vs {f_psnr:.2f} "
+          f"({'PASS' if drift_ok else 'FAIL'})", flush=True)
+
+    # sparse trajectory table for the record
+    print("step, bf16_loss, f32_loss, bf16_psnr, f32_psnr", flush=True)
+    for mark in range(5000, total + 1, 5000):
+        print(
+            f"{mark}, "
+            f"{window_mean(steps, loss, mark - w, mark):.4f}, "
+            f"{window_mean(fsteps, floss, mark - w, mark):.4f}, "
+            f"{window_mean(steps, psnr, mark - w, mark):.2f}, "
+            f"{window_mean(fsteps, fpsnr, mark - w, mark):.2f}",
+            flush=True,
+        )
+    if not (gapless and seam_ok and drift_ok):
+        raise SystemExit(1)
+    print("SOAK PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()
