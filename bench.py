@@ -176,7 +176,47 @@ def bench_obj() -> float:
     return _measure(step, state, batch)
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """The tunneled TPU backend goes UNAVAILABLE transiently (observed
+    round 4: init failing for >30 min).  jax caches a failed backend
+    init for the process lifetime, so probe in SUBPROCESSES and only
+    proceed once a trivial value fetch succeeds — the driver runs this
+    unattended and an early crash records an empty BENCH json."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((8, 128)).sum()))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=300,
+            )
+            if "1024.0" in res.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({
+                "metric": "offline_hand_train_rays_per_sec_per_chip",
+                "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                "error": "TPU backend unavailable after "
+                         f"{max_wait_s:.0f}s ({attempt} probes)",
+            }))
+            raise SystemExit(1)
+        time.sleep(60)
+
+
 def main() -> None:
+    # NOTE: must not call jax.default_backend() here — a failed init is
+    # cached for the whole process; probe via subprocesses instead.
+    if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
+            and not os.environ.get("HONERF_BENCH_NO_WAIT")):
+        _wait_for_backend()
     hand = bench_hand()
     obj = bench_obj()
     print(

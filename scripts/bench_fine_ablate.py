@@ -106,6 +106,27 @@ def main():
                   static_argnames=("meta", "block", "interpret")),
           (p8, *common, meta, BLOCK, INTERP), "fwd")
 
+    # --- slot layout (round 4) A/B: same workload, lane-aligned slots ---
+    smeta = meta._replace(layout="slot")
+    swps, sbps = FFF._pad_weights_slots(ws, bs, smeta)
+    scws = tuple(
+        jnp.asarray(rng.normal(size=d, scale=0.02).astype(np.float32))
+        for d in smeta.color_dims
+    )
+    scbs = tuple(
+        jnp.asarray(np.zeros(d[1], np.float32)) for d in smeta.color_dims
+    )
+    scwps, scbps = FFF._pad_color_weights(scws, scbs, smeta)
+    scommon = (rotT, off, cut, swps, sbps, scwps, scbps)
+    bench(jax.jit(FFF._fwd_call.__wrapped__,
+                  static_argnames=("meta", "block", "interpret")),
+          (p8, *scommon, smeta, BLOCK, INTERP), "fwd-slot")
+    bench(fresh_bwd(), (p8, dpack, None, None, *scommon, smeta, BLOCK,
+                        INTERP), "bwd-slot")
+    bench(fresh_bwd(), (p8, dpack, None, None, *scommon,
+                        smeta._replace(want_dw=False), BLOCK, INTERP),
+          "bwd-slot-frozen")
+
     bwd_args = (p8, dpack, None, None, *common)
     t_full = bench(fresh_bwd(), (*bwd_args, meta, BLOCK, INTERP), "bwd-full")
     t_frozen = bench(
