@@ -126,6 +126,15 @@ def main():
     bench(fresh_bwd(), (p8, dpack, None, None, *scommon,
                         smeta._replace(want_dw=False), BLOCK, INTERP),
           "bwd-slot-frozen")
+    # block=256: halves the dW-accumulator read-modify-write traffic;
+    # was a dead end for the piece layout (VMEM pressure) — retry with
+    # the slot layout's lower register pressure
+    if Np % 256 == 0 and not INTERP:
+        bench(fresh_bwd(), (p8, dpack, None, None, *scommon, smeta, 256,
+                            INTERP), "bwd-slot-b256")
+        bench(fresh_bwd(), (p8, dpack, None, None, rotT, off, cut, wps,
+                            bps, cwps, cbps, meta, 256, INTERP),
+              "bwd-piece-b256")
 
     bwd_args = (p8, dpack, None, None, *common)
     t_full = bench(fresh_bwd(), (*bwd_args, meta, BLOCK, INTERP), "bwd-full")
