@@ -157,9 +157,19 @@ class FineMeta(NamedTuple):
         return 1 + 2 * self.grad_L
 
     @property
+    def gpe_width(self) -> int:
+        """Kernel width of the grad(+PE) color-input section: one full
+        128-lane slot (16 groups of 8; junk lanes -> -1 rows) in slot
+        layout, 8*gpe_blocks packed blocks otherwise."""
+        if self.layout == "slot":
+            assert 1 + 2 * self.grad_L <= 16
+            return _LANE
+        return 8 * self.gpe_blocks
+
+    @property
     def color_in_kernel(self) -> int:
-        """Kernel-layout color input width: e + feat + 8*gpe_blocks."""
-        return self.e_kernel_width + (self.d_out - 1) + 8 * self.gpe_blocks
+        """Kernel-layout color input width: e + feat + grad(+PE)."""
+        return self.e_kernel_width + (self.d_out - 1) + self.gpe_width
 
     @property
     def color_dims(self) -> Tuple[Tuple[int, int], ...]:
@@ -195,9 +205,10 @@ def color_row_map(meta: FineMeta) -> np.ndarray:
     else:
         rows = list(range(E + F))
     gbase = E + F
-    for blk in range(meta.gpe_blocks):
+    n_grp = (16 if meta.layout == "slot" else meta.gpe_blocks)
+    for blk in range(n_grp):
         for ch in range(8):
-            if ch >= 3:
+            if ch >= 3 or blk >= meta.gpe_blocks:
                 rows.append(-1)
             elif blk == 0:
                 rows.append(gbase + ch)
@@ -739,6 +750,55 @@ def _gpe_transpose(meta: FineMeta, g8, dgpe):
     return dg
 
 
+def _gpe_lane_consts(meta: FineMeta):
+    """(1, 128) lane constants for the slot-mode grad-PE section:
+    16 groups of 8 lanes, [g | sin_l x L | cos_l x L | pad]; only
+    channels 0-2 of each group are live."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    grp = lane // 8
+    ch = lane % 8
+    L = meta.grad_L
+    valid = (ch < 3) & (grp < 1 + 2 * L)
+    idm = (valid & (grp == 0)).astype(jnp.float32)
+    sm = (valid & (grp >= 1) & (grp <= L)).astype(jnp.float32)
+    cm = (valid & (grp > L)).astype(jnp.float32)
+    ell = jnp.where(grp <= L, grp - 1, grp - 1 - L)
+    F = jnp.exp2(jnp.clip(ell, 0, None).astype(jnp.float32)) * (sm + cm)
+    return dict(idm=idm, sm=sm, cm=cm, F=F)
+
+
+def _gpe_rep_matrices(dtype=jnp.float32):
+    """REP16 (8, 128): replicate the 8 g lanes into 16 groups;
+    RED16 (128, 8): sum the groups back (iota-built)."""
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    REP16 = (j8 % 8 == i8).astype(dtype)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
+    RED16 = (ii % 8 == jj).astype(dtype)
+    return REP16, RED16
+
+
+def _gpe_block_slot(meta: FineMeta, g8):
+    """Slot-mode grad(+PE): ONE aligned (B, 128) register, two
+    transcendentals (vs 1+2L sub-width blocks and their concat)."""
+    REP16, _ = _gpe_rep_matrices()
+    lc = _gpe_lane_consts(meta)
+    g_rep = jnp.dot(g8, REP16, preferred_element_type=jnp.float32)
+    return (lc["idm"] * g_rep + lc["sm"] * jnp.sin(g_rep * lc["F"])
+            + lc["cm"] * jnp.cos(g_rep * lc["F"]))
+
+
+def _gpe_transpose_slot(meta: FineMeta, g8, dgpe):
+    """Transpose of _gpe_block_slot: (B, 128) cotangent -> (B, 8)."""
+    REP16, RED16 = _gpe_rep_matrices()
+    lc = _gpe_lane_consts(meta)
+    g_rep = jnp.dot(g8, REP16, preferred_element_type=jnp.float32)
+    D = lc["idm"] + lc["F"] * (lc["sm"] * jnp.cos(g_rep * lc["F"])
+                               - lc["cm"] * jnp.sin(g_rep * lc["F"]))
+    return jnp.dot(dgpe * D, RED16, preferred_element_type=jnp.float32)
+
+
 def _color_fwd_block(meta: FineMeta, x, cws, cbs, with_residuals=False):
     """Color MLP forward on the kernel-layout input x (B, CXp).
     Returns color (B, out_pad; 3 real) [, (zs for the relu masks)]."""
@@ -822,9 +882,10 @@ def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         return out, g8, e_pad
     # color net on [e | feat | grad(+PE)] in kernel layout
     feat = out[:, 1:meta.d_out]
+    gpe = (_gpe_block_slot(meta, g8) if meta.layout == "slot"
+           else _gpe_block(meta, g8))
     x = jnp.concatenate(
-        [st["e"], feat.astype(st["e"].dtype), _gpe_block(meta, g8)],
-        axis=-1,
+        [st["e"], feat.astype(st["e"].dtype), gpe], axis=-1,
     )
     CXp = _round_up(meta.color_in_kernel, _LANE)
     x = jnp.pad(x, ((0, 0), (0, CXp - x.shape[1])))
@@ -862,8 +923,9 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         F = meta.d_out - 1
         de_ext = dx[:, :Ek]
         dfeat = dx[:, Ek:Ek + F]
-        dgpe = dx[:, Ek + F:Ek + F + 8 * meta.gpe_blocks]
-        dg8 = dg8 + _gpe_transpose(meta, g8, dgpe)
+        dgpe = dx[:, Ek + F:Ek + F + meta.gpe_width]
+        dg8 = dg8 + (_gpe_transpose_slot(meta, g8, dgpe) if slot
+                     else _gpe_transpose(meta, g8, dgpe))
         out_pad = dout.shape[1]
         dout = dout + jnp.pad(dfeat, ((0, 0), (1, out_pad - 1 - F)))
     else:
