@@ -135,6 +135,14 @@ def main():
         bench(fresh_bwd(), (p8, dpack, None, None, rotT, off, cut, wps,
                             bps, cwps, cbps, meta, 256, INTERP),
               "bwd-piece-b256")
+        bench(fresh_bwd(),
+              (p8, dpack, None, None, *scommon,
+               smeta._replace(n_split=2), 256, INTERP),
+              "bwd-slot-b256-ns2")
+        bench(fresh_bwd(),
+              (p8, dpack, None, None, *scommon,
+               smeta._replace(want_dw=False), 256, INTERP),
+              "bwd-slot-frozen-b256")
 
     bwd_args = (p8, dpack, None, None, *common)
     t_full = bench(fresh_bwd(), (*bwd_args, meta, BLOCK, INTERP), "bwd-full")
