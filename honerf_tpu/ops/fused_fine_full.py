@@ -529,29 +529,36 @@ def _fwdT_tail(st, adj, dv, dh, dh3, drr):
 # v-family: 6 pieces of 21 lanes per slot; r-family: 2 pieces of 63.
 # ---------------------------------------------------------------------------
 
-def slot_channel_map(meta: FineMeta) -> np.ndarray:
-    """new kernel channel -> channel-major e index (-1 for slot pads).
+def slot_channel_map_lr(vL: int, rL: int) -> np.ndarray:
+    """new kernel channel -> channel-major e index (-1 for slot pads),
+    as a function of the two PE orders (shared with the forward-only
+    ladder kernel, ops/fused_hand.py).
 
     Channel-major piece order (hand_embedding_flat,
     models/embedding.py:162-172): [vh, sv_0..sv_{vL-1}, cv_0.., rrh3,
     sr_0.., cr_0..]."""
+    v_pieces, r_pieces = 1 + 2 * vL, 1 + 2 * rL
     rows = []
-    for k in range(meta.v_slots):
+    for k in range(-(-v_pieces // 6)):
         for lane in range(_LANE):
             p = 6 * k + lane // 21
-            if lane < 126 and p < meta.v_pieces:
+            if lane < 126 and p < v_pieces:
                 rows.append(p * 21 + lane % 21)
             else:
                 rows.append(-1)
-    rbase = 21 * meta.v_pieces
-    for k in range(meta.r_slots):
+    rbase = 21 * v_pieces
+    for k in range(-(-r_pieces // 2)):
         for lane in range(_LANE):
             p = 2 * k + lane // 63
-            if lane < 126 and p < meta.r_pieces:
+            if lane < 126 and p < r_pieces:
                 rows.append(rbase + p * 63 + lane % 63)
             else:
                 rows.append(-1)
     return np.asarray(rows)
+
+
+def slot_channel_map(meta: FineMeta) -> np.ndarray:
+    return slot_channel_map_lr(meta.v_multires, meta.r_multires)
 
 
 def _slot_sel_matrices(dtype=jnp.float32):

@@ -132,12 +132,19 @@ class HandKernelMeta(NamedTuple):
     dims: Tuple[int, ...]
     v_multires: int
     r_multires: int
+    # 'slot' (round 4): lane-aligned embedding slots — shared machinery
+    # with the differentiable fine pass (fused_fine_full.py); kills the
+    # 36-piece unaligned concat in `embed`.
+    layout: str = "piece"
 
 
-def pack_hand_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
+def pack_hand_sdf_weights(params: Dict[str, Any], cfg: SDFConfig,
+                          layout: str = "piece"):
     """Materialize padded bf16 (in, out) weights (channel-major embedding
-    columns) + f32 biases for the kernel.  The FINAL layer keeps only the
-    sdf output column (the kernel returns sdf, not the 256 features)."""
+    columns; layout='slot' additionally permutes the embedding ROWS into
+    the lane-aligned slot order) + f32 biases for the kernel.  The FINAL
+    layer keeps only the sdf output column (the kernel returns sdf, not
+    the 256 features)."""
     dims = cfg.dims
     layers = list(params["layers"])
     layers[0] = _gather_cols(
@@ -147,6 +154,13 @@ def pack_hand_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
         layers[s] = _gather_cols(
             layers[s], _cm_index(cfg.v_multires, cfg.r_multires, cfg.d_hidden, 0)
         )
+    if layout == "slot":
+        from honerf_tpu.ops.fused_fine_full import (
+            _slot_gather_rows,
+            slot_channel_map_lr,
+        )
+
+        cmap = slot_channel_map_lr(cfg.v_multires, cfg.r_multires)
     ws: List[jnp.ndarray] = []
     bs: List[jnp.ndarray] = []
     n_layers = len(dims) - 1
@@ -156,6 +170,13 @@ def pack_hand_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
         if li == n_layers - 1:
             w = w[:, :1]  # sdf column only
             b = b[:1]
+        if layout == "slot" and li == 0:
+            w = _slot_gather_rows(w, cmap)
+        elif layout == "slot" and li in cfg.skip_in:
+            w = jnp.concatenate(
+                [w[:cfg.d_hidden], _slot_gather_rows(w[cfg.d_hidden:], cmap)],
+                axis=0,
+            )
         in_pad = _round_up(w.shape[0], _LANE)
         out_pad = _round_up(w.shape[1], _LANE)
         w = jnp.pad(w, ((0, in_pad - w.shape[0]), (0, out_pad - w.shape[1])))
@@ -169,6 +190,7 @@ def pack_hand_sdf_weights(params: Dict[str, Any], cfg: SDFConfig):
         dims=tuple(dims),
         v_multires=cfg.v_multires,
         r_multires=cfg.r_multires,
+        layout=layout,
     )
     return tuple(ws), tuple(bs), meta
 
@@ -229,6 +251,15 @@ def _make_kernel(meta: HandKernelMeta, n_split: int = 4):
     W = meta.emb_width  # 21 * (1 + 2 vL + 3 + 6 rL)
     w_pad = _round_up(W, _LANE)
     beta = 100.0
+    if meta.layout == "slot":
+        from honerf_tpu.ops import fused_fine_full as FFF
+
+        smeta = FFF.FineMeta(
+            v_multires=vL, r_multires=rL, d_hidden=meta.dims[1],
+            n_layers=meta.n_layers, skip=meta.skip_in[0], d_out=1,
+            layout="slot", with_color=True,
+        )
+        w_pad = smeta.e_kernel_width
 
     def kernel(pts_ref, rotT_ref, off_ref, cut_ref, *refs):
         n_layers = meta.n_layers
@@ -241,6 +272,10 @@ def _make_kernel(meta: HandKernelMeta, n_split: int = 4):
 
         def embed(p3):
             p = jnp.pad(p3, ((0, 0), (0, 8 - 3)))  # (b, 8)
+            if meta.layout == "slot":
+                st = FFF._emb_fwd_block_slots(
+                    p, rotT_ref[:, :], off_ref[:, :], cut_ref[:, :], smeta)
+                return st["e"].astype(jnp.bfloat16)
             q = (
                 jnp.dot(p, rotT_ref[:, :], preferred_element_type=jnp.float32)
                 + off_ref[0, :]
@@ -273,12 +308,13 @@ def _make_kernel(meta: HandKernelMeta, n_split: int = 4):
                 # dims[l] IS the pre-skip hidden width (the skip layer's
                 # weight eats d_hidden + W columns)
                 d_prev = meta.dims[l]
+                e_w = w_pad if meta.layout == "slot" else W
                 xs = [
                     jnp.pad(
                         jnp.concatenate(
-                            [x[:, :d_prev], f[:, :W]], axis=-1
+                            [x[:, :d_prev], f[:, :e_w]], axis=-1
                         ) * jnp.bfloat16(inv_sqrt2),
-                        ((0, 0), (0, ws[l].shape[0] - (d_prev + W))),
+                        ((0, 0), (0, ws[l].shape[0] - (d_prev + e_w))),
                     )
                     for x, f in zip(xs, feats)
                 ]
@@ -390,9 +426,13 @@ class FusedHandSDF:
 
     def __init__(self, sdf_params: Dict[str, Any], cfg: SDFConfig,
                  block: int = BLOCK, n_split: int = 4,
-                 interpret: bool = False):
+                 interpret: bool = False, layout: str = None):
         assert cfg.kind == "hand"
-        self.ws, self.bs, self.meta = pack_hand_sdf_weights(sdf_params, cfg)
+        if layout is None:
+            # same switch as the fine pass (models/fields.py)
+            layout = os.environ.get("HONERF_FINE_LAYOUT", "piece")
+        self.ws, self.bs, self.meta = pack_hand_sdf_weights(
+            sdf_params, cfg, layout=layout)
         self.block = block
         self.n_split = n_split
         self.interpret = interpret

@@ -78,14 +78,16 @@ class TestFusedHand:
         )
         return params, bt_inv, t_pose, pts
 
+    @pytest.mark.parametrize("layout", ["piece", "slot"])
     @pytest.mark.parametrize("cfg", [
         SDFConfig(kind="hand", n_layers=3, d_hidden=64, d_out=65,
                   skip_in=(2,), v_multires=3, r_multires=2),
         SDFConfig(kind="hand", r_multires=7),
     ], ids=["tiny", "full"])
-    def test_matches_xla_forward(self, cfg):
+    def test_matches_xla_forward(self, cfg, layout):
         """Fused hand kernel (interpret mode) == XLA bone-major forward to
-        bf16-weight tolerance, tiny and full architectures."""
+        bf16-weight tolerance, tiny and full architectures, both
+        embedding lane layouts."""
         from honerf_tpu.models.fields import sdf_hand_apply
         from honerf_tpu.ops.fused_hand import FusedHandSDF
 
@@ -93,7 +95,7 @@ class TestFusedHand:
         ref, _, _, _ = sdf_hand_apply(
             params, cfg._replace(flat_embedding=False), pts, bt_inv, t_pose
         )
-        fused = FusedHandSDF(params, cfg, interpret=True)
+        fused = FusedHandSDF(params, cfg, interpret=True, layout=layout)
         got = np.asarray(fused(pts, bt_inv, t_pose))
         np.testing.assert_allclose(got, np.asarray(ref[:, 0]),
                                    atol=2e-3, rtol=1e-3)
