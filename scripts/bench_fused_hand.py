@@ -66,15 +66,20 @@ def main():
             tl = bench(xla_flat, pts)
             rows.append(f"xla flat {tl*1e3:.1f} ms ({n/tl/1e6:.1f} M)")
         best = None
-        for block, n_split in ((256, 2), (256, 4), (512, 2), (512, 4),
-                               (1024, 4)):
+        for block, n_split, layout in (
+                (256, 2, "piece"), (256, 4, "piece"), (512, 2, "piece"),
+                (512, 4, "piece"), (1024, 4, "piece"),
+                (256, 2, "slot"), (512, 2, "slot"), (512, 4, "slot"),
+                (1024, 4, "slot")):
             try:
-                f = FH(params, cfg, block=block, n_split=n_split)
+                f = FH(params, cfg, block=block, n_split=n_split,
+                       layout=layout)
                 tf = bench(lambda p: f(p, bt_inv, t_pose), pts)
             except Exception as e:
-                rows.append(f"b{block}/s{n_split}: FAIL {type(e).__name__}")
+                rows.append(
+                    f"b{block}/s{n_split}/{layout}: FAIL {type(e).__name__}")
                 continue
-            rows.append(f"b{block}/s{n_split} {tf*1e3:.1f} ms "
+            rows.append(f"b{block}/s{n_split}/{layout} {tf*1e3:.1f} ms "
                         f"({n/tf/1e6:.1f} M)")
             if best is None or tf < best[0]:
                 best = (tf, block, n_split, f)
