@@ -446,6 +446,28 @@ def generate_catch_sequence(
                 pickle.dump(param, f)
 
 
+def posed_hand_example(
+    curl: float = 0.35,
+    angle: float = 0.9,
+    axis=(0.3, 0.8, 0.52),
+    cam_pos=(0.0, 0.2, -0.9),
+):
+    """Shared benchmark/dryrun pose: canonical joints curled and rotated
+    by a Rodrigues rotation, with a camera looking at the hand center.
+    One definition so bench.py and __graft_entry__ exercise the SAME
+    synthetic workload.  Returns (joints (21,3) f32, cam_R, cam_T)."""
+    joints = canonical_hand_joints(curl=curl).astype(np.float32)
+    a = np.asarray(axis, dtype=np.float64)
+    a /= np.linalg.norm(a)
+    K = np.asarray(
+        [[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]]
+    )
+    R3 = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    joints = (joints @ R3.T).astype(np.float32)
+    R, T = look_at_camera(np.asarray(cam_pos, np.float64), joints.mean(0))
+    return joints, R, T
+
+
 def canonical_hand_joints(curl: float = 0.0) -> np.ndarray:
     """A plausible right-hand 21-joint skeleton in the repo's MANO joint
     order: 0 = wrist, then contiguous 4-joint chains (MCP..tip) per finger —

@@ -323,8 +323,16 @@ class OfflineRunner:
                     batch_np = dict(batch_np, vgg_ramp=np.float32(ramp))
                 yield batch_np
 
-    def train(self) -> None:
+    def train(self, stop_at: int = None) -> None:
+        """Run the training loop to end_iter, or to `stop_at` if given.
+
+        stop_at pauses the run WITHOUT changing the schedule: the LR
+        decay, warm-up and the 0.3*end_iter patch-sampling switch all
+        stay anchored to the conf's end_iter, so a run split across
+        processes (checkpoint at stop_at -> --is_continue) follows the
+        exact single-process trajectory (scripts/soak_resume.py)."""
         t = self.tcfg
+        stop = t.end_iter if stop_at is None else min(stop_at, t.end_iter)
         report_freq = self.conf.get_int("train.report_freq", 100)
         save_freq = self.conf.get_int("train.save_freq", 5000)
         val_freq = self.conf.get_int("train.val_freq", 5000)
@@ -341,12 +349,12 @@ class OfflineRunner:
         vgg_start = t.end_iter * 0.3
         stream = self._batch_stream(vgg_start)
         multi_step = self._multi_step
-        while self.iter_step < t.end_iter:
+        while self.iter_step < stop:
             # align chunks to the next save/val/end boundary so checkpoint
             # and validation iteration numbers match the single-step loop
             k = min(
                 chunk_k,
-                t.end_iter - self.iter_step,
+                stop - self.iter_step,
                 save_freq - self.iter_step % save_freq,
                 val_freq - self.iter_step % val_freq,
             )
