@@ -42,7 +42,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def write_conf(ws: str, model_type: str, data_dir: str, total: int,
                bf16: bool, tag: str) -> str:
     conf_path = os.path.join(ws, f"soak_{tag}.conf")
-    save_freq = max(total // 6, 1)  # a checkpoint lands exactly at half
+    save_freq = max(total // 6, 1)  # main() aligns the restart to this
     with open(conf_path, "w") as f:
         f.write(CONF.format(
             exp_dir=os.path.join(ws, f"exp_{tag}"),
@@ -72,8 +72,10 @@ def run_stage(conf: str, stop_at: int, is_continue: bool) -> None:
         "from honerf_tpu.train.runner import OfflineRunner\n"
         f"r = OfflineRunner({conf!r}, mode='train',"
         f" is_continue={is_continue})\n"
-        f"r.tcfg = r.tcfg._replace(end_iter={stop_at})\n"
-        "r.train()\n"
+        # stop_at (not an end_iter override): the LR schedule and the
+        # 0.3*end_iter patch-sampling switch stay anchored to the conf's
+        # total so the split run follows the single-process trajectory
+        f"r.train(stop_at={stop_at})\n"
         f"print('stage done at', r.iter_step)\n"
     )
     env = dict(os.environ)
@@ -106,7 +108,11 @@ def window_mean(steps, vals, lo, hi):
 def main() -> None:
     model_type = sys.argv[1] if len(sys.argv) > 1 else "hand"
     total = int(sys.argv[2]) if len(sys.argv) > 2 else 30000
-    half = total // 2
+    save_freq = max(total // 6, 1)
+    # the restart point must land ON a checkpoint boundary (train() only
+    # saves at save_freq multiples); round half down so process B resumes
+    # without re-running (and re-logging) any step
+    half = max((total // 2) // save_freq, 1) * save_freq
     ws = tempfile.mkdtemp(prefix=f"soak_{model_type}_")
     data_dir = os.path.join(ws, "data")
     if model_type == "obj":

@@ -183,3 +183,44 @@ def test_runner_train_data_parallel_mesh(tmp_path):
                      "refine_pose = True\n    data_parallel = false")
         )
     assert OfflineRunner(conf2, mode="train")._mesh is None
+
+
+def test_train_stop_at_pauses_without_schedule_shift(tmp_path):
+    """train(stop_at=N) stops exactly at N (a save_freq boundary saves a
+    checkpoint there) but keeps the LR schedule anchored to the conf's
+    end_iter: resuming with --is_continue and training to the end yields
+    the SAME per-step learning rates as one uninterrupted run — the
+    split-process contract scripts/soak_resume.py relies on."""
+    from honerf_tpu.train.runner import OfflineRunner
+    from honerf_tpu.train.schedule import make_lr_schedule
+
+    ws = str(tmp_path)
+    data_dir = os.path.join(ws, "data")
+    generate_object_dataset(data_dir, n_views=4, H=48, W=56)
+
+    split = os.path.join(ws, "split.conf")
+    with open(split, "w") as f:
+        f.write(SMALL_CONF.format(exp_dir=os.path.join(ws, "split"),
+                                  data_dir=data_dir))
+
+    def lr_at(runner, s):
+        t = runner.tcfg
+        sched = make_lr_schedule(t.learning_rate, t.warm_up_end,
+                                 t.end_iter, t.learning_rate_alpha)
+        return float(sched(s))
+
+    r = OfflineRunner(split, mode="train")
+    lr_full_9 = lr_at(r, 9)
+    r.train(stop_at=6)
+    assert r.iter_step == 6
+    assert os.path.exists(os.path.join(ws, "split", "checkpoints",
+                                       "ckpt_000006.npz"))
+    r2 = OfflineRunner(split, mode="train", is_continue=True)
+    assert r2.iter_step == 6
+    # schedule still anchored to end_iter=12, not the stop point
+    assert lr_at(r2, 9) == lr_full_9
+    r2.train()
+    recs = [json.loads(l) for l in open(
+        os.path.join(ws, "split", "logs", "metrics.jsonl"))]
+    steps = [rec["step"] for rec in recs]
+    assert steps == list(range(1, 13))  # gapless, no duplicates
