@@ -257,12 +257,19 @@ class SingleFitRunner(_FitBase):
                 jax.default_backend() != "cpu" and len(jax.devices()) == 1,
             )
             # fused differentiable fine pass for the hand side of the
-            # dual render — opt-in via conf (False | 'full' | 'xla');
-            # single non-CPU chip only for the Pallas variant
-            fine = self.conf.get("train.fused_fine", False)
-            if fine and fine != "xla" and not (
-                jax.default_backend() != "cpu" and len(jax.devices()) == 1
-            ):
+            # dual render (False | 'full' | 'xla').  DEFAULT ON for the
+            # single-TPU-chip configuration (round 4, VERDICT r3 #4): the
+            # frozen-nets backward cuts the '12' device step 38.7 ->
+            # 21.47 ms with pose gradients identical to the XLA path
+            # (tests/test_fused_fine_full.py::test_frozen_color_pose_grads;
+            # e2e + pose-quality gates in BENCH_NOTES round 4).  Set
+            # train.fused_fine = false to opt out.
+            fine = self.conf.get("train.fused_fine", None)
+            single_chip = (jax.default_backend() != "cpu"
+                           and len(jax.devices()) == 1)
+            if fine is None:
+                fine = "full" if single_chip else False
+            if fine and fine != "xla" and not single_chip:
                 fine = False
             step, opt = make_single_fit_step(
                 nets, self.hand_sdf_cfg, self.hand_color_cfg,

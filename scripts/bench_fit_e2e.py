@@ -153,9 +153,12 @@ def run_stage(ws: str, fit_type: str, G: int = 1,
 
     conf = os.path.join(ws, f"fit_{fit_type}_g{G}_{int(fused_fine)}.conf")
     text = CONF.format(ws=ws, fit_type=fit_type, G=G)
-    if fused_fine:
-        text = text.replace("verbose_steps = true",
-                            'verbose_steps = true\n  fused_fine = "full"')
+    # ALWAYS explicit: the runner's default is now fused-on for a single
+    # TPU chip, so the baseline mode must opt out to stay an A/B
+    fine_line = '  fused_fine = "full"' if fused_fine else \
+        "  fused_fine = false"
+    text = text.replace("verbose_steps = true",
+                        "verbose_steps = true\n" + fine_line)
     with open(conf, "w") as f:
         f.write(text)
     runner = SingleFitRunner(conf, case=f"bench{fit_type}")

@@ -32,9 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_fit_e2e import CONF, write_full_checkpoints
 
 
+# every mode is EXPLICIT about both fused paths: the runner's defaults
+# are now fused-on for a single TPU chip, so omitting a key would break
+# the A/B
 MODES = {
-    "xla": "  fused_ladder = false",
-    "ladder": "  fused_ladder = true",
+    "xla": "  fused_ladder = false\n  fused_fine = false",
+    "ladder": "  fused_ladder = true\n  fused_fine = false",
     "ladder_fine": '  fused_ladder = true\n  fused_fine = "full"',
 }
 
