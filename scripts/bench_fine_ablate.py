@@ -130,19 +130,20 @@ def main():
     # was a dead end for the piece layout (VMEM pressure) — retry with
     # the slot layout's lower register pressure
     if Np % 256 == 0 and not INTERP:
-        bench(fresh_bwd(), (p8, dpack, None, None, *scommon, smeta, 256,
-                            INTERP), "bwd-slot-b256")
-        bench(fresh_bwd(), (p8, dpack, None, None, rotT, off, cut, wps,
-                            bps, cwps, cbps, meta, 256, INTERP),
-              "bwd-piece-b256")
-        bench(fresh_bwd(),
-              (p8, dpack, None, None, *scommon,
-               smeta._replace(n_split=2), 256, INTERP),
-              "bwd-slot-b256-ns2")
-        bench(fresh_bwd(),
-              (p8, dpack, None, None, *scommon,
-               smeta._replace(want_dw=False), 256, INTERP),
-              "bwd-slot-frozen-b256")
+        variants = [
+            ("bwd-slot-b256", scommon, smeta, 256),
+            ("bwd-piece-b256", common, meta, 256),
+            ("bwd-slot-b256-ns2", scommon, smeta._replace(n_split=2), 256),
+            ("bwd-slot-frozen-b256", scommon,
+             smeta._replace(want_dw=False), 256),
+        ]
+        for label, args_c, m, blk in variants:
+            try:  # a VMEM overflow at block 256 must not kill the rest
+                bench(fresh_bwd(), (p8, dpack, None, None, *args_c, m,
+                                    blk, INTERP), label)
+            except Exception as e:
+                print(f"{label}: FAIL {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
 
     bwd_args = (p8, dpack, None, None, *common)
     t_full = bench(fresh_bwd(), (*bwd_args, meta, BLOCK, INTERP), "bwd-full")
