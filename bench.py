@@ -27,7 +27,17 @@ strictly slower (21-bone pose embedding + HALO transforms per eval), so
 the hand vs_baseline reported here is a conservative LOWER BOUND on the
 true speedup.  vs_baseline is measured_rays_per_sec / 4410.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output contract (VERDICT r4 #2 — a driver SIGKILL must never leave an
+empty BENCH json): stdout carries ONLY JSON lines, each one flushed the
+moment it exists, ordered so the LAST line is always the best available
+record.  The object step (small program, known-warm compile path) is
+measured and printed FIRST as its own labeled line; the flagship combined
+hand-headline line {"metric", "value", "unit", "vs_baseline", ...} is
+printed last once the hand measurement lands.  If the TPU backend stays
+unavailable past a bounded wait (default 480 s, HONERF_BENCH_WAIT_S to
+override), a labeled-error JSON line is flushed and the process exits —
+`timeout 600 python bench.py` with the tunnel dark still yields a
+parseable line.  Progress notes go to stderr.
 """
 
 import json
@@ -171,39 +181,63 @@ def bench_obj() -> float:
     return _measure(step, state, batch)
 
 
-def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+def _emit(rec: dict) -> None:
+    """One JSON line to stdout, flushed immediately — a SIGKILL at any
+    later moment leaves this line intact in the driver's tail."""
+    print(json.dumps(rec), flush=True)
+
+
+def _note(msg: str) -> None:
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _wait_for_backend() -> None:
     """The tunneled TPU backend goes UNAVAILABLE transiently (observed
-    round 4: init failing for >30 min).  jax caches a failed backend
-    init for the process lifetime, so probe in SUBPROCESSES and only
-    proceed once a trivial value fetch succeeds — the driver runs this
-    unattended and an early crash records an empty BENCH json."""
+    round 4: init failing for hours).  jax caches a failed backend init
+    for the process lifetime, so probe in SUBPROCESSES and only proceed
+    once a trivial value fetch succeeds.  The wait is BOUNDED (default
+    480 s — well inside any plausible driver budget; round 4's 30-min
+    silent wait turned 'tunnel down' into an empty BENCH json): at the
+    cap a labeled-error JSON line is flushed before exiting."""
     import subprocess
     import sys
 
-    probe = ("import jax, jax.numpy as jnp;"
-             "print(float(jnp.ones((8, 128)).sum()))")
-    deadline = time.time() + max_wait_s
+    max_wait_s = float(os.environ.get("HONERF_BENCH_WAIT_S", "480"))
+    probe = os.environ.get(
+        "HONERF_BENCH_PROBE_CMD",
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.ones((8, 128)).sum()))",
+    )
+    start = time.time()
+    deadline = start + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        budget = max(min(240.0, deadline - time.time()), 5.0)
         try:
             res = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=300,
+                text=True, timeout=budget,
             )
             if "1024.0" in res.stdout:
+                _note(f"backend up after {time.time() - start:.0f}s "
+                      f"({attempt} probes)")
                 return
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
-            print(json.dumps({
+        _note(f"backend probe {attempt} failed "
+              f"({time.time() - start:.0f}s elapsed)")
+        if time.time() >= deadline:
+            _emit({
                 "metric": "offline_hand_train_rays_per_sec_per_chip",
                 "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
                 "error": "TPU backend unavailable after "
                          f"{max_wait_s:.0f}s ({attempt} probes)",
-            }))
+            })
             raise SystemExit(1)
-        time.sleep(60)
+        time.sleep(min(20.0, max(deadline - time.time(), 0.1)))
 
 
 def main() -> None:
@@ -215,23 +249,32 @@ def main() -> None:
     # for genuinely-CPU runs (tests force cpu via jax.config).
     if not os.environ.get("HONERF_BENCH_NO_WAIT"):
         _wait_for_backend()
-    hand = bench_hand()
+    # Object first: the smaller program with the proven-fast compile path
+    # (r3 measured it end-to-end), emitted as its own line so a driver
+    # timeout during the hand compile still records a real measurement.
+    _note("measuring object step (compiles first in a fresh process)")
     obj = bench_obj()
-    print(
-        json.dumps(
-            {
-                "metric": "offline_hand_train_rays_per_sec_per_chip",
-                "value": round(hand, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(hand / BASELINE_RAYS_PER_SEC, 3),
-                "obj_rays_per_sec": round(obj, 1),
-                "obj_vs_baseline": round(obj / BASELINE_RAYS_PER_SEC, 3),
-                "baseline_note": "vs ESTIMATED obj-workload 4410 rays/s "
-                                 "(reference publishes none); hand ratio "
-                                 "is a lower bound",
-            }
-        )
-    )
+    _emit({
+        "metric": "offline_obj_train_rays_per_sec_per_chip",
+        "value": round(obj, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(obj / BASELINE_RAYS_PER_SEC, 3),
+        "partial": "hand headline still measuring; prefer the later "
+                   "combined line when present",
+    })
+    _note(f"obj = {obj:.1f} rays/s; measuring flagship hand step")
+    hand = bench_hand()
+    _emit({
+        "metric": "offline_hand_train_rays_per_sec_per_chip",
+        "value": round(hand, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(hand / BASELINE_RAYS_PER_SEC, 3),
+        "obj_rays_per_sec": round(obj, 1),
+        "obj_vs_baseline": round(obj / BASELINE_RAYS_PER_SEC, 3),
+        "baseline_note": "vs ESTIMATED obj-workload 4410 rays/s "
+                         "(reference publishes none); hand ratio "
+                         "is a lower bound",
+    })
 
 
 if __name__ == "__main__":

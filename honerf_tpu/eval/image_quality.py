@@ -147,8 +147,16 @@ def lpips_vgg(
         diff = (na - nb) ** 2
         if heads is not None:
             w = jnp.asarray(heads[i]).reshape(1, -1, 1, 1)
-            if w.shape[1] == diff.shape[1]:
-                diff = diff * w
+            if w.shape[1] != diff.shape[1]:
+                # A malformed/mismatched head file must not silently
+                # degrade to unit weights while still reporting under the
+                # 'lpips' key (ADVICE r4).
+                raise ValueError(
+                    f"LPIPS head {i} has {w.shape[1]} channels, stage "
+                    f"features have {diff.shape[1]} — wrong/corrupt heads "
+                    "file; pass heads=None for the labeled unit-weight "
+                    "fallback")
+            diff = diff * w
         total = total + float(jnp.mean(jnp.sum(diff, axis=1)))
     return float(total)
 

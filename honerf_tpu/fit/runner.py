@@ -269,6 +269,15 @@ class SingleFitRunner(_FitBase):
                            and len(jax.devices()) == 1)
             if fine is None:
                 fine = "full" if single_chip else False
+                if fine:
+                    # Default changes the fit-stage kernels (bf16 fused
+                    # Pallas backward instead of XLA) for configs that
+                    # omit the key — say so in the fit log, mirroring
+                    # train/offline.py's selection log (ADVICE r4).
+                    logger.info(
+                        "train.fused_fine unset: defaulting to 'full' "
+                        "(single TPU chip) — fused Pallas fine backward; "
+                        "set train.fused_fine = false to opt out")
             if fine and fine != "xla" and not single_chip:
                 fine = False
             step, opt = make_single_fit_step(

@@ -4,7 +4,10 @@ Two reference roles, two different backbones:
 
 * **VGG19** — the training-time `VGGLoss` (utils/fields.py:407-433): five
   feature stages cut at torchvision `vgg19().features` indices
-  (2, 7, 12, 21, 30) — CONV outputs — L1 distance per stage with unit
+  (2, 7, 12, 21, 30) under the reference's nn.Sequential(vgg[prev:N])
+  slicing — i.e. the output AFTER the first N modules, which lands on the
+  RELU outputs relu1_1/2_1/3_1/4_1/5_1 (same output-after-N-modules
+  convention as the LPIPS cuts below) — L1 distance per stage with unit
   weights, and the reference's quirks preserved: NO ImageNet normalization
   of the inputs, and the target branch is stop_gradient'ed (torch.no_grad,
   utils/fields.py:429-430).

@@ -14,6 +14,7 @@ import json
 import logging
 import math
 import os
+import tempfile
 import time
 from shutil import copyfile
 from typing import Any, Dict
@@ -273,24 +274,45 @@ class OfflineRunner:
 
     @staticmethod
     def _truncate_metrics(path: str, max_step: int) -> None:
+        """Drop metric lines past the resume step AND any torn/unparseable
+        lines (a killed process can leave a partial trailing line that the
+        next append would otherwise concatenate onto).  The rewrite goes
+        through a same-directory temp file + os.replace so a crash here
+        never loses the retained history — this IS the crash-recovery
+        path, it must itself be crash-safe (ADVICE r4)."""
         if not os.path.exists(path):
             return
-        kept, dropped = [], 0
+        kept, dropped, torn = [], 0, 0
         with open(path) as f:
             for line in f:
                 try:
                     step = json.loads(line)["step"]
                 except Exception:
-                    step = None
-                if step is not None and step > max_step:
+                    torn += 1
+                    continue
+                if step > max_step:
                     dropped += 1
                     continue
+                if not line.endswith("\n"):
+                    line += "\n"
                 kept.append(line)
-        if dropped:
-            logger.info("dropping %d metric lines past resume step %d",
-                        dropped, max_step)
-            with open(path, "w") as f:
-                f.writelines(kept)
+        if dropped or torn:
+            logger.info(
+                "dropping %d metric lines past resume step %d "
+                "(+%d torn/unparseable)", dropped, max_step, torn)
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(os.path.abspath(path)),
+                prefix=".metrics_trunc_")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    f.writelines(kept)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
 
     # ------------------------------------------------------------------
     # persistence

@@ -26,4 +26,5 @@ run ladder-sweep   5400 python scripts/bench_fused_hand.py
 run fit-e2e-fine   5400 python scripts/bench_fit_e2e.py 1 2 fine
 run qfit-gates     7200 python scripts/quality_fit_fused.py ladder ladder_fine
 run video-e2e      5400 python scripts/bench_video_e2e.py 4 3
+run soak-30k      21600 python scripts/soak_resume.py obj 30000
 echo "QUEUE DONE $(date)" >> /tmp/tpu_queue.log

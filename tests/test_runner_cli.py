@@ -221,8 +221,14 @@ def test_train_stop_at_pauses_without_schedule_shift(tmp_path):
     metrics_path = os.path.join(ws, "split", "logs", "metrics.jsonl")
     with open(metrics_path, "a") as f:
         f.write(json.dumps({"step": 7, "loss": 123.0}) + "\n")
+        # a killed process can also leave a TORN partial line with no
+        # trailing newline; resume must drop it, or the next append
+        # concatenates onto it and corrupts the JSONL (ADVICE r4)
+        f.write('{"step": 8, "lo')
     r2 = OfflineRunner(split, mode="train", is_continue=True)
-    assert not any(json.loads(l)["step"] > 6 for l in open(metrics_path))
+    lines = open(metrics_path).read().splitlines()
+    recs = [json.loads(l) for l in lines]  # every line parses again
+    assert not any(rec["step"] > 6 for rec in recs)
     assert r2.iter_step == 6
     # schedule still anchored to end_iter=12, not the stop point
     assert lr_at(r2, 9) == lr_full_9

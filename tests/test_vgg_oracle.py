@@ -152,6 +152,12 @@ def test_lpips_head_converter_roundtrip(tmp_path):
     assert np.isfinite(with_heads) and np.isfinite(unit)
     assert with_heads != unit  # the heads actually engage
 
+    # a wrong/corrupt heads file must fail LOUDLY, not silently fall
+    # back to unit weights under the 'lpips' label (ADVICE r4)
+    bad = [h[:-1] for h in heads]
+    with pytest.raises(ValueError, match="channels"):
+        lpips_vgg(vgg_params, img, ref, bad)
+
 
 # ---------------------------------------------------------------------------
 # VGG16 LPIPS backbone (VERDICT r3 #3): full lpips.LPIPS(net='vgg')
