@@ -42,7 +42,7 @@ import numpy as np
 jax.config.update("jax_platforms", "cpu")
 
 from honerf_tpu.ops import fused_fine_full as FFF
-from honerf_tpu.ops import fused_trunk as FT  # noqa: F401 (shapes via FFF)
+from honerf_tpu.ops import fused_fine as FT  # trunk machinery
 
 LANE = 128
 BLOCK = 128
@@ -106,12 +106,10 @@ def _block_args(meta: FFF.FineMeta, key=0):
 
 
 def FT_dims(tm):
-    from honerf_tpu.ops import fused_trunk as FT
     return FT._dims(tm)
 
 
 def FT_pad_weights(ws, bs, tm):
-    from honerf_tpu.ops import fused_trunk as FT
     return FT._pad_weights(ws, bs, tm)
 
 
@@ -282,6 +280,26 @@ def main():
           f"{measured_piece_s*1e3:.2f}):")
     print(f"  piece {pp:.2f}  slot {ps:.2f}  ratio slot/piece "
           f"{ps/pp:.3f}")
+
+    # Sensitivity: the per-op relayout cost is the one guessed constant
+    # (everything else is counted or measured).  Re-calibrating piece to
+    # 11.78 ms at each assumed cost yields a FAMILY of slot predictions;
+    # the measured A/B point identifies which regime Mosaic is actually
+    # in.  (At cost->0 the layouts differ only by their counted
+    # MXU/VPU work; as cost grows, piece's 211 ops/block absorb more of
+    # its calibrated time and slot's predicted win grows toward it.)
+    global RELAYOUT_OP_COST
+    print("\nsensitivity (relayout op cost -> predicted slot ms, ratio):")
+    base = RELAYOUT_OP_COST
+    sens = {}
+    for c in (0.0, 1e3, 3e3, 1e4, 3e4, 1e5):
+        RELAYOUT_OP_COST = c
+        rp = predict_seconds(results["piece"]["counts"], n_blocks)
+        rs = predict_seconds(results["slot"]["counts"], n_blocks)
+        ms = rs / rp * measured_piece_s * 1e3
+        sens[c] = round(ms, 2)
+        print(f"  cost={c:8.0f}: slot {ms:6.2f} ms  ratio {ms/11.78:.3f}")
+    RELAYOUT_OP_COST = base
     print(json.dumps({
         "metric": "fine_bwd_cost_model_slot_over_piece",
         "value": round(ps / pp, 4), "unit": "ratio",
