@@ -113,8 +113,8 @@ def make_hand_field(
             assert_fused_ladder_ok,
         )
 
-        assert_fused_ladder_ok()
-        fused = FusedHandSDF(params["sdf"], sdf_cfg)
+        assert_fused_ladder_ok(interpret)
+        fused = FusedHandSDF(params["sdf"], sdf_cfg, interpret=interpret)
 
         def sdf_fn(pts):
             return fused(pts, bt_inv, t_pose_21)

@@ -308,6 +308,7 @@ def hand_render_from_batch(
     batch: Dict[str, jnp.ndarray],
     key,
     fused_ladder: Optional[bool] = None,
+    fused_interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Camera -> rays -> HALO bone transforms -> NeuS render, in-graph.
 
@@ -319,7 +320,15 @@ def hand_render_from_batch(
     (the inference-only eval render), False = force OFF even in bf16 mode
     (debug / quality comparison — ADVICE r2).  Always off on the CPU
     backend (no Mosaic) and multi-device meshes (the GSPMD partitioner is
-    not exercised over the pallas_call here)."""
+    not exercised over the pallas_call here).
+
+    fused_interpret=True is a VALIDATION-ONLY mode (the multichip dry
+    run): it forces BOTH fused paths on in Pallas interpret mode,
+    bypassing the single-chip gate, so the exact program the
+    HONERF_FUSED_LADDER_MULTIDEV opt-in would build on real multi-chip
+    hardware — pallas_call under GSPMD jit-with-shardings — is traced,
+    partitioned, and executed on the virtual CPU mesh.  Never use it for
+    training (interpret mode is orders of magnitude slower)."""
     cam = Camera(
         R=batch["cam_R"], T=batch["cam_T"],
         focal=batch["focal"], principal=batch["principal"],
@@ -344,6 +353,8 @@ def hand_render_from_batch(
         )
     else:
         use_fine = False
+    if fused_interpret:  # validation-only: see docstring
+        use_fused, use_fine = True, "full"
     # numerics-affecting selection (the auto mode switches bf16 training
     # onto the fused Pallas fine pass): record it once per process so
     # training logs show which implementation produced the checkpoint
@@ -359,6 +370,7 @@ def hand_render_from_batch(
     field = make_hand_field(
         params, sdf_cfg, color_cfg, bt_inv, batch["t_pose_21"],
         fused_ladder=use_fused, fused_fine=use_fine,
+        interpret=fused_interpret,
     )
     return _render_rays_chunked(
         field, rcfg, tcfg, key, rb.origins, rb.directions
@@ -371,13 +383,20 @@ def make_hand_train_step(
     rcfg: RenderConfig,
     tcfg: TrainHyper,
     vgg_loss_fn: Optional[Callable] = None,
+    fused_interpret: bool = False,
 ):
     """Jittable hand-model train step: the HALO kinematic chain runs inside
-    the compiled program and se3_refine gradients flow through it."""
+    the compiled program and se3_refine gradients flow through it.
+
+    fused_interpret: validation-only passthrough to hand_render_from_batch
+    (the multichip dry run's MULTIDEV leg — see its docstring)."""
     opt = make_optimizer(tcfg)
 
     def loss_fn(params, batch, key):
-        out = hand_render_from_batch(params, sdf_cfg, color_cfg, rcfg, tcfg, batch, key)
+        out = hand_render_from_batch(
+            params, sdf_cfg, color_cfg, rcfg, tcfg, batch, key,
+            fused_interpret=fused_interpret,
+        )
         loss, metrics = offline_losses(out, batch, tcfg)
         if vgg_loss_fn is not None and tcfg.vgg_weight > 0:
             side = int(round(float(tcfg.batch_size) ** 0.5))
