@@ -1013,6 +1013,28 @@ def _make_fwd_kernel(meta: FineMeta):
     return kernel
 
 
+#: Ablation hook (scripts/bench_fine_ablate2.py): "add" is production;
+#: "assign" overwrites the dW/db output refs every grid step instead of
+#: accumulating (numerics garbage, isolates the read half of the VMEM
+#: read-modify-write).  Trace-time only — rebuild the kernel to change.
+_DW_ACCUM = "add"
+
+
+def _dw_store(ref, val, first):
+    """Write one dW/db output ref for this grid step (see _DW_ACCUM)."""
+    if _DW_ACCUM == "assign":
+        ref[:] = val
+        return
+
+    @pl.when(first)
+    def _():
+        ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] += val
+
+
 def _make_bwd_kernel(meta: FineMeta):
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
@@ -1091,26 +1113,12 @@ def _make_bwd_kernel(meta: FineMeta):
             return
 
         for l in range(n):
-            @pl.when(first)
-            def _(l=l):
-                dw_refs[l][:] = dws[l]
-                db_refs[l][:] = dbs[l]
-
-            @pl.when(jnp.logical_not(first))
-            def _(l=l):
-                dw_refs[l][:] += dws[l]
-                db_refs[l][:] += dbs[l]
+            _dw_store(dw_refs[l], dws[l], first)
+            _dw_store(db_refs[l], dbs[l], first)
 
         for l in range(cn):
-            @pl.when(first)
-            def _(l=l):
-                dcw_refs[l][:] = dcws[l]
-                dcb_refs[l][:] = dcbs[l]
-
-            @pl.when(jnp.logical_not(first))
-            def _(l=l):
-                dcw_refs[l][:] += dcws[l]
-                dcb_refs[l][:] += dcbs[l]
+            _dw_store(dcw_refs[l], dcws[l], first)
+            _dw_store(dcb_refs[l], dcbs[l], first)
 
     if meta.with_color:
         def kernel(p_ref, dpack_ref, rotT_ref, off_ref, cut_ref, *refs):

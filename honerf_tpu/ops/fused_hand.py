@@ -429,8 +429,15 @@ class FusedHandSDF:
                  interpret: bool = False, layout: str = None):
         assert cfg.kind == "hand"
         if layout is None:
-            # same switch as the fine pass (models/fields.py)
-            layout = os.environ.get("HONERF_FINE_LAYOUT", "piece")
+            # the ladder kernel's own switch, falling back to the shared
+            # fine-pass one (models/fields.py) — the round-5 ablation
+            # showed the layouts can win on DIFFERENT kernels (slot wins
+            # the fine bwd, piece the forward-only paths), so the sites
+            # are independently overridable.
+            layout = os.environ.get(
+                "HONERF_LADDER_LAYOUT",
+                os.environ.get("HONERF_FINE_LAYOUT", "piece"),
+            )
         self.ws, self.bs, self.meta = pack_hand_sdf_weights(
             sdf_params, cfg, layout=layout)
         self.block = block
