@@ -46,8 +46,11 @@ VGG16_PLAN = [
     512, 512, 512, "M", 512, 512, 512, "M",
 ]
 
-# torchvision features-module indices at which the reference cuts stages
-# (utils/fields.py:410) — CONV outputs.
+# torchvision features-module prefix lengths at which the reference cuts
+# stages (utils/fields.py:410).  Under the output-after-N-modules
+# convention these land on the RELU outputs relu1_1/2_1/3_1/4_1/5_1
+# (nn.Sequential(vgg[prev:N]) includes the ReLU at index N-1) — the same
+# convention as the LPIPS cuts below.
 FEATURE_LAYERS = (2, 7, 12, 21, 30)
 
 # lpips.LPIPS(net='vgg') slices torchvision vgg16().features at the RELU

@@ -1019,9 +1019,25 @@ def _make_fwd_kernel(meta: FineMeta):
 #: read-modify-write).  Trace-time only — rebuild the kernel to change.
 _DW_ACCUM = "add"
 
+#: Where the cross-grid-step dW/db accumulators live: "out" accumulates
+#: directly in the (constant-index-map) output refs; "scratch"
+#: accumulates in VMEM scratch and copies to the output refs once, at
+#: the last grid step (numerics-identical — same adds in the same
+#: order).  The round-5 ablation measured the accumulator stores as the
+#: entire 4.4 ms dW cost with reads and matmuls free; "scratch" tests
+#: (and, if it wins, fixes) per-step output-ref writeback as the cause.
+#: Trace-time only.
+_DW_PLACE = "out"
+
+#: Mosaic scoped-VMEM cap for the fwd/bwd pallas_calls (bytes).  The
+#: round-4 default of 64M clears block=128 (which needs >23M); the
+#: block-size ablation (scripts/bench_fine_ablate3.py) varies this to
+#: test whether the block-256 dW anomaly is a VMEM ceiling.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _dw_store(ref, val, first):
-    """Write one dW/db output ref for this grid step (see _DW_ACCUM)."""
+    """Write one dW/db accumulator ref for this grid step (_DW_ACCUM)."""
     if _DW_ACCUM == "assign":
         ref[:] = val
         return
@@ -1039,6 +1055,7 @@ def _make_bwd_kernel(meta: FineMeta):
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
     want_dw = meta.want_dw
+    scratch_acc = want_dw and _DW_PLACE == "scratch"
 
     def body(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
              cut_ref, *refs):
@@ -1049,12 +1066,21 @@ def _make_bwd_kernel(meta: FineMeta):
         o = 2 * n + 2 * cn
         dp_ref = refs[o]
         if want_dw:
-            dw_refs = refs[o + 1:o + 1 + n]
-            db_refs = refs[o + 1 + n:o + 1 + 2 * n]
+            out_dw_refs = refs[o + 1:o + 1 + n]
+            out_db_refs = refs[o + 1 + n:o + 1 + 2 * n]
             drotT_ref = refs[o + 1 + 2 * n]
             doff_ref = refs[o + 2 + 2 * n]
-            dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
-            dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
+            out_dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
+            out_dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
+            if scratch_acc:
+                s = o + 3 + 2 * n + 2 * cn  # scratch refs follow outputs
+                dw_refs = refs[s:s + n]
+                db_refs = refs[s + n:s + 2 * n]
+                dcw_refs = refs[s + 2 * n:s + 2 * n + cn]
+                dcb_refs = refs[s + 2 * n + cn:s + 2 * n + 2 * cn]
+            else:
+                dw_refs, db_refs = out_dw_refs, out_db_refs
+                dcw_refs, dcb_refs = out_dcw_refs, out_dcb_refs
         else:
             drotT_ref = refs[o + 1]
             doff_ref = refs[o + 2]
@@ -1119,6 +1145,17 @@ def _make_bwd_kernel(meta: FineMeta):
         for l in range(cn):
             _dw_store(dcw_refs[l], dcws[l], first)
             _dw_store(dcb_refs[l], dcbs[l], first)
+
+        if scratch_acc:
+            last = pl.program_id(0) == pl.num_programs(0) - 1
+
+            @pl.when(last)
+            def _():
+                for src, dst in (list(zip(dw_refs, out_dw_refs))
+                                 + list(zip(db_refs, out_db_refs))
+                                 + list(zip(dcw_refs, out_dcw_refs))
+                                 + list(zip(dcb_refs, out_dcb_refs))):
+                    dst[:] = src[:]
 
     if meta.with_color:
         def kernel(p_ref, dpack_ref, rotT_ref, off_ref, cut_ref, *refs):
@@ -1239,7 +1276,7 @@ def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
                                  + 2 * 84 + 21),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(p8, rotT, off, cut, *wps, *bps, *cwps, *cbps)
@@ -1293,6 +1330,12 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
         ct_specs = [_rows(block, _round_up(meta.d_out, _LANE)),
                     _rows(block, _LANE), _rows(block, Ep)]
         ct_args = (dout, dg, dthird)
+    scratch_shapes = ()
+    if meta.want_dw and _DW_PLACE == "scratch":
+        scratch_shapes = tuple(
+            pltpu.VMEM(a.shape, jnp.float32)
+            for a in (list(wps) + list(bps) + list(cwps) + list(cbps))
+        )
     outs = pl.pallas_call(
         _make_bwd_kernel(meta),
         out_shape=tuple(out_shapes),
@@ -1305,6 +1348,7 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
                   + [_const(w.shape) for w in cwps]
                   + [_const(b.shape) for b in cbps]),
         out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=N * (2 * Ep + _LANE) * 4,
             transcendentals=2 * N * (meta.d_hidden * (meta.n_layers - 1)
@@ -1315,7 +1359,7 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
         # v5e — above the compiler's default 16M scoped-vmem limit, well
         # under physical VMEM; raise the cap instead of shrinking blocks
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(p8, *ct_args, rotT, off, cut, *wps, *bps, *cwps, *cbps)

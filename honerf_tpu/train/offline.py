@@ -70,6 +70,11 @@ class TrainHyper(NamedTuple):
     # at ray counts >~1.7k (see BENCH_NOTES.md "Known issues"): the
     # chunked program reuses the known-good small-batch shape.
     ray_chunk: int = 0
+    # Global-norm gradient clip (`train.grad_clip` conf key).  None =
+    # auto: DEFAULT_BF16_GRAD_CLIP when the SDF trunk runs bf16, off for
+    # f32 (reference parity — the reference never clips).  0 = force off.
+    # See resolve_grad_clip for why bf16 needs it.
+    grad_clip: Optional[float] = None
 
     @classmethod
     def from_conf(cls, conf) -> "TrainHyper":
@@ -100,6 +105,10 @@ class TrainHyper(NamedTuple):
                 else (v if isinstance(v, str) else bool(v))
             )(conf.get("train.fused_fine", None)),
             ray_chunk=int(conf.get("train.ray_chunk", 0)),
+            grad_clip=(
+                None if conf.get("train.grad_clip", None) is None
+                else float(conf.get("train.grad_clip"))
+            ),
         )
 
 
@@ -108,6 +117,48 @@ def make_optimizer(tcfg: TrainHyper) -> optax.GradientTransformation:
         tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter, tcfg.learning_rate_alpha
     )
     return optax.adam(learning_rate=schedule)
+
+
+#: Auto grad-clip threshold for bf16 trunks (resolve_grad_clip).
+#: Calibrated on the full-size obj run (BENCH_NOTES round-5): healthy
+#: grad norms median 5.9 / p99 33 / max 72, patch-switch spike batches
+#: 276-847.  50 sits above the healthy p99 (<1% of normal steps touched)
+#: and an order of magnitude below the spikes it exists to neuter.
+DEFAULT_BF16_GRAD_CLIP = 50.0
+
+
+def resolve_grad_clip(tcfg: TrainHyper, sdf_cfg) -> float:
+    """Effective global-norm gradient clip (0 = off).
+
+    The reference trains f32 and never clips (exp_runner.py:238-257 has
+    a bare loss.backward()/step()), and our f32 path preserves that.
+    bf16 trunks (the TPU fast path, no reference counterpart) need the
+    update bounded: the round-5 30k soak showed single catastrophic
+    patch batches right after the 0.3*end_iter patch-sampling switch
+    (loss ~8, an entire patch rendering empty) collapse the bf16 field
+    permanently — once the render is fully empty the mask BCE's
+    weight_sum clip to [1e-3, 1-1e-3] (exp_runner.py:224) zeroes its
+    gradient, so there is no recovery force.  The f32 run absorbed the
+    SAME batches and converged (BENCH_NOTES "Round-5 measured: ...
+    soak").  `train.grad_clip` overrides the auto rule (0 disables).
+    """
+    if tcfg.grad_clip is not None:
+        return float(tcfg.grad_clip)
+    return (DEFAULT_BF16_GRAD_CLIP
+            if getattr(sdf_cfg, "trunk_dtype", "f32") == "bf16" else 0.0)
+
+
+def _clipped_grads(grads, clip: float):
+    """Return (grads, global_norm), scaling grads to `clip` when above.
+
+    Implemented in-step (not optax.chain) so the opt_state tree — and
+    therefore every existing checkpoint — keeps its exact structure.
+    """
+    gnorm = optax.global_norm(grads)
+    if clip > 0:
+        scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    return grads, gnorm
 
 
 def init_train_state(params: Params, tcfg: TrainHyper) -> Dict[str, Any]:
@@ -263,9 +314,12 @@ def make_obj_train_step(
             metrics = dict(metrics, vgg_loss=vgg, loss=loss)
         return loss, metrics
 
+    clip = resolve_grad_clip(tcfg, sdf_cfg)
+
     def step_fn(state, batch, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(state["params"], batch, key)
+        grads, gnorm = _clipped_grads(grads, clip)
         updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {
@@ -273,7 +327,7 @@ def make_obj_train_step(
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
-        return new_state, metrics
+        return new_state, dict(metrics, grad_norm=gnorm)
 
     return step_fn
 
@@ -407,14 +461,17 @@ def make_hand_train_step(
             metrics = dict(metrics, vgg_loss=vgg, loss=loss)
         return loss, metrics
 
+    clip = resolve_grad_clip(tcfg, sdf_cfg)
+
     def step_fn(state, batch, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(state["params"], batch, key)
+        grads, gnorm = _clipped_grads(grads, clip)
         updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         return (
             {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
-            metrics,
+            dict(metrics, grad_norm=gnorm),
         )
 
     return step_fn

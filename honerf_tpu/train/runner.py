@@ -215,6 +215,16 @@ class OfflineRunner:
             self._eval_render = jax.jit(
                 make_hand_eval_render(self.sdf_cfg, self.color_cfg, self.rcfg, self.tcfg)
             )
+        from honerf_tpu.train.offline import resolve_grad_clip
+
+        clip = resolve_grad_clip(self.tcfg, self.sdf_cfg)
+        if clip > 0:
+            logger.info(
+                "grad clip: global-norm %.1f (%s; train.grad_clip=0 "
+                "disables)", clip,
+                "bf16-trunk auto" if self.tcfg.grad_clip is None
+                else "conf override",
+            )
         self._step = jax.jit(self._raw_step)
         # built once: re-wrapping per train() call would re-trace the whole
         # K-step scan (~20 s for the full-size program) on every resume

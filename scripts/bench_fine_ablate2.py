@@ -140,6 +140,16 @@ def main():
                             f"bwd-dw-cheapmm-{layout}")
         finally:
             FT._mm_tn = orig_mm_tn
+        # numerics-identical candidate fix: VMEM-scratch accumulators,
+        # output refs written once at the last grid step
+        FFF._DW_PLACE = "scratch"
+        try:
+            t_scratch = bench(fresh_bwd(), (*args, meta, BLOCK, INTERP),
+                              f"bwd-dw-scratch-{layout}")
+        finally:
+            FFF._DW_PLACE = "out"
+        print(f"  [{layout}] scratch-accum vs out: "
+              f"{1e3 * (t_scratch - t_full):+.2f} ms", flush=True)
         print(f"  [{layout}] dW total (full-frozen): "
               f"{1e3 * (t_full - t_frozen):.2f} ms", flush=True)
         print(f"  [{layout}] accumulator READ+add (full-assign): "

@@ -548,3 +548,50 @@ def test_color_fused_render_loss_grad_parity(layout, monkeypatch):
         np.asarray(gj_f) / scale, np.asarray(gj_x) / scale,
         atol=1e-3, rtol=1e-3,
     )
+
+
+def test_dw_scratch_placement_bit_exact(monkeypatch):
+    """_DW_PLACE='scratch' (VMEM-scratch dW accumulators, outputs written
+    at the last grid step) produces BIT-identical gradients to the
+    production 'out' placement — same adds in the same order (round-5
+    ablation record; BENCH_NOTES dW decomposition)."""
+    import honerf_tpu.ops.fused_fine_full as FFF
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import (
+        ColorConfig,
+        init_color_params,
+        init_variance_params,
+    )
+    from honerf_tpu.models.fields import hand_fine_color_apply
+
+    sdf_cfg, sdf_params = _small_net()
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2)
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+        "variance": init_variance_params(0.3),
+    }
+    joints = jnp.asarray(canonical_hand_joints(0.3))
+    bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(9)
+    center = np.asarray(joints.mean(0))
+    pts = jnp.asarray(
+        (rng.normal(size=(64, 3)) * 0.05 + center).astype(np.float32))
+    tg = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    tc = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+
+    def loss(p):
+        sdf, g, c = hand_fine_color_apply(
+            p, sdf_cfg, color_cfg, pts, bt_inv, t_pose, block=32,
+            interpret=True, layout="piece")
+        return jnp.sum(sdf) * 0.3 + jnp.sum(g * tg) + jnp.sum(c * tc)
+
+    g_out = jax.grad(loss)(params)
+    assert FFF._DW_PLACE == "out"  # production default
+    monkeypatch.setattr(FFF, "_DW_PLACE", "scratch")
+    g_scratch = jax.grad(loss)(params)  # unjitted: retraces per call
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_scratch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -113,6 +113,91 @@ def test_obj_training_sharded_matches_single(sphere_scene):
     np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-6)
 
 
+def test_grad_clip_bounds_update_and_defaults(sphere_scene):
+    """grad_clip semantics (BENCH_NOTES round-5 soak: bf16 collapse guard).
+
+    - default: OFF for f32 trunks (reference parity — exp_runner.py has a
+      bare backward/step), AUTO-ON for bf16 trunks;
+    - the clipped step's update global-norm is bounded by clip * lr-ish
+      (we assert vs the unclipped update, which must shrink);
+    - grad_norm is reported in the step metrics either way.
+    """
+    from honerf_tpu.train.offline import (
+        DEFAULT_BF16_GRAD_CLIP,
+        resolve_grad_clip,
+    )
+
+    sdf_cfg, color_cfg, rcfg, tcfg, params = small_setup(sphere_scene)
+    assert resolve_grad_clip(tcfg, sdf_cfg) == 0.0
+    assert (resolve_grad_clip(tcfg, sdf_cfg._replace(trunk_dtype="bf16"))
+            == DEFAULT_BF16_GRAD_CLIP)
+    # explicit conf value beats the auto rule in both directions
+    assert resolve_grad_clip(
+        tcfg._replace(grad_clip=0.0), sdf_cfg._replace(trunk_dtype="bf16")
+    ) == 0.0
+    assert resolve_grad_clip(tcfg._replace(grad_clip=3.5), sdf_cfg) == 3.5
+
+    # exact _clipped_grads semantics
+    from honerf_tpu.train.offline import _clipped_grads
+
+    g = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([[0.0, 12.0]])}
+    clipped, gnorm = _clipped_grads(g, 6.5)
+    assert float(gnorm) == pytest.approx(13.0)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), [1.5, 2.0],
+                               rtol=1e-6)
+    same, gnorm2 = _clipped_grads(g, 100.0)  # above the norm: no-op
+    np.testing.assert_allclose(np.asarray(same["b"]), np.asarray(g["b"]))
+    assert float(gnorm2) == pytest.approx(13.0)
+
+    # integration: clipping ONE spike step from a shared warm optimizer
+    # state shrinks that update (NOTE: from a FRESH init Adam is
+    # grad-scale invariant, and clipping EVERY step re-normalizes
+    # through nu — a single clipped step against unclipped history is
+    # the scenario the guard exists for)
+    loader = RayBatchLoader(sphere_scene, tcfg.batch_size, seed=5)
+    key = jax.random.PRNGKey(11)
+    step_off = jax.jit(make_obj_train_step(sdf_cfg, color_cfg, rcfg, tcfg))
+    state = init_train_state(params, tcfg)
+    for i in range(7):  # unclipped warmup builds nu history
+        batch = {k: jnp.asarray(v)
+                 for k, v in loader.get(i % len(sphere_scene)).items()}
+        key, sub = jax.random.split(key)
+        state, metrics = step_off(state, batch, sub)
+    warm = jax.tree.map(lambda x: x, state)
+    batch = {k: jnp.asarray(v) for k, v in loader.get(0).items()}
+    key, sub = jax.random.split(key)
+
+    def update_norm(new_state):
+        delta = jax.tree.map(
+            lambda a, b: np.asarray(a, np.float64) - np.asarray(b, np.float64),
+            new_state["params"], warm["params"])
+        return float(np.sqrt(sum(
+            float((d ** 2).sum()) for d in jax.tree.leaves(delta))))
+
+    s_off, m_off = step_off(warm, batch, sub)
+    g_obs = float(m_off["grad_norm"])
+    assert np.isfinite(g_obs) and g_obs > 0
+    step_on = jax.jit(make_obj_train_step(
+        sdf_cfg, color_cfg, rcfg, tcfg._replace(grad_clip=g_obs / 50.0)))
+    s_on, m_on = step_on(warm, batch, sub)
+    # reported norm is pre-clip
+    assert float(m_on["grad_norm"]) == pytest.approx(g_obs, rel=1e-4)
+    # the update shrinks (momentum carries unclipped history, so the
+    # one-step effect is partial)...
+    assert update_norm(s_on) < update_norm(s_off)
+    # ...but the second-moment increment — what a spike poisons for
+    # thousands of subsequent steps (soak: layer-8 bias nu jumped 21->50
+    # at the collapse) — shrinks quadratically with the clip (50^2)
+    def nu_delta(new_state):
+        d = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a, np.float64)
+                                      - np.asarray(b, np.float64)).sum()),
+            new_state["opt_state"][0].nu, warm["opt_state"][0].nu)
+        return sum(jax.tree.leaves(d))
+
+    assert nu_delta(s_on) < nu_delta(s_off) / 100.0
+
+
 def test_checkpoint_roundtrip(sphere_scene, tmp_path):
     from honerf_tpu.train import load_checkpoint, save_checkpoint
 
