@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
@@ -1035,6 +1036,20 @@ _DW_PLACE = "out"
 #: test whether the block-256 dW anomaly is a VMEM ceiling.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
+#: Staged low-precision dW accumulation period (bf16 trunks only;
+#: 0 = off).  When S > 0, the per-grid-step dW partials accumulate in
+#: bf16 VMEM scratch for S steps and flush into the f32 output refs
+#: every S-th step — the f32 accumulator traffic (measured as the
+#: entire 4.4 ms dW cost, see BENCH_NOTES round-5 dW decomposition)
+#: drops to bf16 stores + 1/S of the f32 RMW.  Numerics: each flushed
+#: stage partial carries ~S*2^-9 relative rounding on top of the
+#: existing bf16-matmul noise in its inputs; across ~N/(block*S)
+#: independent stages the total dW error stays ~0.5% at S=16 —
+#: gate-checked end-to-end (pose-fit quality gates + train-loss
+#: trajectory) before any default flip.  Trace-time only;
+#: HONERF_DW_STAGE sets the process default (A/B gates + e2e bench).
+_DW_STAGE = int(os.environ.get("HONERF_DW_STAGE", "0"))
+
 
 def _dw_store(ref, val, first):
     """Write one dW/db accumulator ref for this grid step (_DW_ACCUM)."""
@@ -1051,11 +1066,37 @@ def _dw_store(ref, val, first):
         ref[:] += val
 
 
+def _dw_store_staged(acc_ref, out_ref, val, i, S):
+    """Staged accumulate (_DW_STAGE): bf16 scratch for S grid steps,
+    f32 flush into the output ref at each stage end / the last step."""
+    nprog = pl.num_programs(0)
+    sfirst = (i % S) == 0
+    flush = jnp.logical_or((i % S) == S - 1, i == nprog - 1)
+    v16 = val.astype(acc_ref.dtype)
+
+    @pl.when(sfirst)
+    def _():
+        acc_ref[:] = v16
+
+    @pl.when(jnp.logical_not(sfirst))
+    def _():
+        acc_ref[:] += v16
+
+    @pl.when(jnp.logical_and(flush, i < S))
+    def _():
+        out_ref[:] = acc_ref[:].astype(jnp.float32)
+
+    @pl.when(jnp.logical_and(flush, i >= S))
+    def _():
+        out_ref[:] += acc_ref[:].astype(jnp.float32)
+
+
 def _make_bwd_kernel(meta: FineMeta):
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
     want_dw = meta.want_dw
-    scratch_acc = want_dw and _DW_PLACE == "scratch"
+    staged = (want_dw and _DW_STAGE > 0 and meta.dtype == "bf16")
+    scratch_acc = want_dw and not staged and _DW_PLACE == "scratch"
 
     def body(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
              cut_ref, *refs):
@@ -1072,7 +1113,7 @@ def _make_bwd_kernel(meta: FineMeta):
             doff_ref = refs[o + 2 + 2 * n]
             out_dcw_refs = refs[o + 3 + 2 * n:o + 3 + 2 * n + cn]
             out_dcb_refs = refs[o + 3 + 2 * n + cn:o + 3 + 2 * n + 2 * cn]
-            if scratch_acc:
+            if scratch_acc or staged:
                 s = o + 3 + 2 * n + 2 * cn  # scratch refs follow outputs
                 dw_refs = refs[s:s + n]
                 db_refs = refs[s + n:s + 2 * n]
@@ -1136,6 +1177,20 @@ def _make_bwd_kernel(meta: FineMeta):
             doff_ref[:] += doff_blk
 
         if not want_dw:
+            return
+
+        if staged:
+            i = pl.program_id(0)
+            for l in range(n):
+                _dw_store_staged(dw_refs[l], out_dw_refs[l], dws[l],
+                                 i, _DW_STAGE)
+                _dw_store_staged(db_refs[l], out_db_refs[l], dbs[l],
+                                 i, _DW_STAGE)
+            for l in range(cn):
+                _dw_store_staged(dcw_refs[l], out_dcw_refs[l], dcws[l],
+                                 i, _DW_STAGE)
+                _dw_store_staged(dcb_refs[l], out_dcb_refs[l], dcbs[l],
+                                 i, _DW_STAGE)
             return
 
         for l in range(n):
@@ -1331,7 +1386,12 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
                     _rows(block, _LANE), _rows(block, Ep)]
         ct_args = (dout, dg, dthird)
     scratch_shapes = ()
-    if meta.want_dw and _DW_PLACE == "scratch":
+    if meta.want_dw and _DW_STAGE > 0 and meta.dtype == "bf16":
+        scratch_shapes = tuple(
+            pltpu.VMEM(a.shape, jnp.bfloat16)
+            for a in (list(wps) + list(bps) + list(cwps) + list(cbps))
+        )
+    elif meta.want_dw and _DW_PLACE == "scratch":
         scratch_shapes = tuple(
             pltpu.VMEM(a.shape, jnp.float32)
             for a in (list(wps) + list(bps) + list(cwps) + list(cbps))
@@ -1395,9 +1455,26 @@ def hand_fine_full(pts, rotT, off, ws, bs, meta: FineMeta,
     return out, g, e
 
 
+def _fwd_block(block: int, interpret: bool) -> int:
+    """Grid block for the FORWARD kernel only.
+
+    The fwd kernel has no dW accumulators, so it speeds up with block
+    size where the bwd regresses (ablate3 @ N=56832: piece fwd 6.24 ->
+    5.93 ms at 256, slot 7.00 -> 6.30; bwd-full 13.06 -> 14.34).  The
+    default 128 therefore maps to 256 on the fwd side; explicit
+    non-default blocks (tests, sweeps) and interpret mode are honored
+    as-is.  b512 fails to compile (Mosaic OOM) — do not raise further.
+    HONERF_FINE_FWD_BLOCK overrides."""
+    env = os.environ.get("HONERF_FINE_FWD_BLOCK")
+    if env:
+        return int(env)
+    return 256 if (block == 128 and not interpret) else block
+
+
 def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
                 cws=(), cbs=()):
     N = pts.shape[0]
+    block = _fwd_block(block, interpret)
     Np = _round_up(max(N, block), block)
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)

@@ -60,9 +60,22 @@ def bench(fn, args, label, iters=20, warmup=3):
 
 
 def fresh_bwd():
-    """Fresh jit so monkeypatched bodies / module globals re-trace."""
-    return jax.jit(FFF._bwd_call.__wrapped__,
-                   static_argnames=("meta", "block", "interpret"))
+    """Fresh jit so monkeypatched bodies / module globals re-trace.
+
+    CRITICAL: jax's jit cache is keyed on the UNDERLYING function
+    identity, not the wrapper — `jax.jit(raw)` twice shares one trace
+    cache, so a module-global flip between calls silently re-times the
+    FIRST executable (this bug invalidated the first round-5
+    assign/cheapmm/scratch numbers; BENCH_NOTES correction).  A fresh
+    lambda per call forces a fresh cache key."""
+    raw = FFF._bwd_call.__wrapped__
+
+    def fresh(*a, meta, block, interpret):
+        return raw(*a, meta=meta, block=block, interpret=interpret)
+
+    jitted = jax.jit(fresh, static_argnames=("meta", "block", "interpret"))
+    return lambda *a: jitted(*a[:-3], meta=a[-3], block=a[-2],
+                             interpret=a[-1])
 
 
 def main():
@@ -93,11 +106,11 @@ def main():
     orig_mm_tn = FT._mm_tn
 
     def cheap_mm_tn(meta, x, y):
-        # not DCE-able, no matmul, right shape/dtype
-        return jnp.broadcast_to(
-            (x[:1, :1] * y[:1, :1]).astype(jnp.float32),
-            (x.shape[1], y.shape[1]),
-        )
+        # not DCE-able, no matmul, right shape/dtype.  NOTE: Mosaic
+        # cannot broadcast a vector<1x1> to 2D ("broadcast in both
+        # sublanes and lanes") — splat from a SCALAR instead.
+        s = (x[0, 0] * y[0, 0]).astype(jnp.float32)
+        return jnp.zeros((x.shape[1], y.shape[1]), jnp.float32) + s
 
     results = {}
     for layout in ("piece", "slot"):
@@ -134,22 +147,43 @@ def main():
                              f"bwd-dw-assign-{layout}")
         finally:
             FFF._DW_ACCUM = "add"
-        FT._mm_tn = cheap_mm_tn
-        try:
-            t_cheap = bench(fresh_bwd(), (*args, meta, BLOCK, INTERP),
-                            f"bwd-dw-cheapmm-{layout}")
-        finally:
-            FT._mm_tn = orig_mm_tn
-        # numerics-identical candidate fix: VMEM-scratch accumulators,
-        # output refs written once at the last grid step
+        # staged bf16 accumulators (production candidate; ~0.5% dW
+        # rounding, dp/pose grads bit-identical) — run FIRST so the
+        # decision numbers land even if a later stand-in fails to
+        # compile
+        for S in (8, 16, 32):
+            FFF._DW_STAGE = S
+            try:
+                t_staged = bench(fresh_bwd(), (*args, meta, BLOCK, INTERP),
+                                 f"bwd-dw-staged{S}-{layout}")
+                print(f"  [{layout}] staged-bf16 S={S} vs out: "
+                      f"{1e3 * (t_staged - t_full):+.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  staged{S} {layout} failed: {str(e)[:120]}",
+                      flush=True)
+            finally:
+                FFF._DW_STAGE = 0
+        # numerics-identical: VMEM-scratch accumulators, outputs written
+        # once at the last grid step
         FFF._DW_PLACE = "scratch"
         try:
             t_scratch = bench(fresh_bwd(), (*args, meta, BLOCK, INTERP),
                               f"bwd-dw-scratch-{layout}")
+            print(f"  [{layout}] scratch-accum vs out: "
+                  f"{1e3 * (t_scratch - t_full):+.2f} ms", flush=True)
+        except Exception as e:
+            print(f"  scratch {layout} failed: {str(e)[:120]}", flush=True)
         finally:
             FFF._DW_PLACE = "out"
-        print(f"  [{layout}] scratch-accum vs out: "
-              f"{1e3 * (t_scratch - t_full):+.2f} ms", flush=True)
+        FT._mm_tn = cheap_mm_tn
+        try:
+            t_cheap = bench(fresh_bwd(), (*args, meta, BLOCK, INTERP),
+                            f"bwd-dw-cheapmm-{layout}")
+        except Exception as e:
+            t_cheap = float("nan")
+            print(f"  cheapmm {layout} failed: {str(e)[:120]}", flush=True)
+        finally:
+            FT._mm_tn = orig_mm_tn
         print(f"  [{layout}] dW total (full-frozen): "
               f"{1e3 * (t_full - t_frozen):.2f} ms", flush=True)
         print(f"  [{layout}] accumulator READ+add (full-assign): "

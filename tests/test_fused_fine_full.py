@@ -592,6 +592,69 @@ def test_dw_scratch_placement_bit_exact(monkeypatch):
     g_out = jax.grad(loss)(params)
     assert FFF._DW_PLACE == "out"  # production default
     monkeypatch.setattr(FFF, "_DW_PLACE", "scratch")
-    g_scratch = jax.grad(loss)(params)  # unjitted: retraces per call
+    # jax's jit cache keys on the underlying fn — _bwd_call is a
+    # module-level jit, so without clearing, the 'scratch' call would
+    # silently reuse the 'out' executable and this test would compare
+    # an executable to itself (the round-5 ablation bug)
+    jax.clear_caches()
+    g_scratch = jax.grad(loss)(params)
     for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_scratch)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dw_staged_bf16_accumulation(monkeypatch):
+    """_DW_STAGE=S (bf16 staged dW accumulators): point/pose gradients
+    BIT-identical to production; weight gradients within the staged
+    rounding budget (~1% — each stage partial carries bf16 rounding on
+    top of the bf16-matmul noise already in its inputs)."""
+    import honerf_tpu.ops.fused_fine_full as FFF
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import ColorConfig, init_color_params
+    from honerf_tpu.models.fields import hand_fine_color_apply
+
+    sdf_cfg, sdf_params = _small_net()
+    sdf_cfg = sdf_cfg._replace(trunk_dtype="bf16")
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2,
+                            trunk_dtype="bf16")
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+    }
+    joints = jnp.asarray(canonical_hand_joints(0.3))
+    bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(13)
+    center = np.asarray(joints.mean(0))
+    pts0 = (rng.normal(size=(96, 3)) * 0.05 + center).astype(np.float32)
+    tg = jnp.asarray(rng.normal(size=(96, 3)).astype(np.float32))
+    tc = jnp.asarray(rng.normal(size=(96, 3)).astype(np.float32))
+
+    def loss(p, pts):
+        sdf, g, c = hand_fine_color_apply(
+            p, sdf_cfg, color_cfg, pts, bt_inv, t_pose, block=32,
+            interpret=True, layout="piece")
+        return jnp.sum(sdf) * 0.3 + jnp.sum(g * tg) + jnp.sum(c * tc)
+
+    gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(params,
+                                                    jnp.asarray(pts0))
+    assert FFF._DW_STAGE == 0  # production default
+    monkeypatch.setattr(FFF, "_DW_STAGE", 2)  # 96/32 = 3 steps: 2 stages
+    jax.clear_caches()
+    gp_st, gx_st = jax.grad(loss, argnums=(0, 1))(params,
+                                                  jnp.asarray(pts0))
+    # point gradients don't touch the dW path: bit-identical
+    np.testing.assert_array_equal(np.asarray(gx_st), np.asarray(gx_ref))
+    changed = 0
+    for a, b in zip(jax.tree.leaves(gp_ref), jax.tree.leaves(gp_st)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        # the tiny test net amplifies relative error (few elements,
+        # partial-sum cancellation); at the production architecture the
+        # same check measures ~0.5% (BENCH_NOTES round-5 staged-dW).
+        # The end-to-end guards are the TPU pose-quality gates.
+        np.testing.assert_allclose(b / scale, a / scale, atol=8e-2)
+        changed += int(not np.array_equal(a, b))
+    assert changed > 0  # the staged path actually engaged
