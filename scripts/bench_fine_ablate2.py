@@ -109,7 +109,8 @@ def main():
         # not DCE-able, no matmul, right shape/dtype.  NOTE: Mosaic
         # cannot broadcast a vector<1x1> to 2D ("broadcast in both
         # sublanes and lanes") — splat from a SCALAR instead.
-        s = (x[0, 0] * y[0, 0]).astype(jnp.float32)
+        s = (x[:1, :1].astype(jnp.float32) * y[:1, :1].astype(jnp.float32)
+             )[0, 0]  # Mosaic: only 32-bit elements convert to scalars
         return jnp.zeros((x.shape[1], y.shape[1]), jnp.float32) + s
 
     results = {}
