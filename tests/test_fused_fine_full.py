@@ -658,3 +658,19 @@ def test_dw_staged_bf16_accumulation(monkeypatch):
         np.testing.assert_allclose(b / scale, a / scale, atol=8e-2)
         changed += int(not np.array_equal(a, b))
     assert changed > 0  # the staged path actually engaged
+
+
+def test_fwd_block_policy(monkeypatch):
+    """The forward kernel's grid block maps default-128 to 256 on
+    hardware (no dW accumulators forward — measured faster, BENCH_NOTES
+    round-5 block sweep), honors explicit non-default blocks and
+    interpret mode, and obeys HONERF_FINE_FWD_BLOCK."""
+    import honerf_tpu.ops.fused_fine_full as FFF
+
+    monkeypatch.delenv("HONERF_FINE_FWD_BLOCK", raising=False)
+    assert FFF._fwd_block(128, interpret=False) == 256
+    assert FFF._fwd_block(128, interpret=True) == 128  # CPU tests as-is
+    assert FFF._fwd_block(32, interpret=False) == 32   # explicit wins
+    assert FFF._fwd_block(512, interpret=False) == 512
+    monkeypatch.setenv("HONERF_FINE_FWD_BLOCK", "128")
+    assert FFF._fwd_block(128, interpret=False) == 128
