@@ -1464,10 +1464,16 @@ def _fwd_block(block: int, interpret: bool) -> int:
     default 128 therefore maps to 256 on the fwd side; explicit
     non-default blocks (tests, sweeps) and interpret mode are honored
     as-is.  b512 fails to compile (Mosaic OOM) — do not raise further.
-    HONERF_FINE_FWD_BLOCK overrides."""
+    HONERF_FINE_FWD_BLOCK overrides (<= 0 means "honor the caller's
+    block", i.e. disable the 256 remap)."""
     env = os.environ.get("HONERF_FINE_FWD_BLOCK")
     if env:
-        return int(env)
+        try:
+            v = int(env)
+        except ValueError as e:
+            raise ValueError(
+                f"HONERF_FINE_FWD_BLOCK={env!r} is not an integer") from e
+        return v if v > 0 else block
     return 256 if (block == 128 and not interpret) else block
 
 

@@ -296,11 +296,15 @@ class OfflineRunner:
         with open(path) as f:
             for line in f:
                 try:
-                    step = json.loads(line)["step"]
-                except Exception:
-                    torn += 1
+                    rec = json.loads(line)
+                except ValueError:
+                    torn += 1  # partial trailing write from a kill
                     continue
-                if step > max_step:
+                # valid JSON without a "step" (e.g. a future summary
+                # record) is NOT torn: keep it rather than silently
+                # deleting history in the crash-recovery path
+                step = rec.get("step") if isinstance(rec, dict) else None
+                if step is not None and step > max_step:
                     dropped += 1
                     continue
                 if not line.endswith("\n"):

@@ -70,7 +70,7 @@ def main():
     ws, bs = _fine_trunk_weights(params, cfg)
     meta = FFF.FineMeta(
         v_multires=10, r_multires=7, d_hidden=256, n_layers=9, skip=4,
-        d_out=257, dtype="bf16", with_color=True, c_hidden=256, c_layers=4,
+        d_out=257, dtype="bf16", with_color=True, c_hidden=256, c_layers=5,
         grad_L=4, want_dw=True,
     )
     rng = np.random.default_rng(0)

@@ -674,3 +674,9 @@ def test_fwd_block_policy(monkeypatch):
     assert FFF._fwd_block(512, interpret=False) == 512
     monkeypatch.setenv("HONERF_FINE_FWD_BLOCK", "128")
     assert FFF._fwd_block(128, interpret=False) == 128
+    monkeypatch.setenv("HONERF_FINE_FWD_BLOCK", "0")  # disable the remap
+    assert FFF._fwd_block(128, interpret=False) == 128
+    assert FFF._fwd_block(64, interpret=False) == 64
+    monkeypatch.setenv("HONERF_FINE_FWD_BLOCK", "banana")
+    with pytest.raises(ValueError, match="HONERF_FINE_FWD_BLOCK"):
+        FFF._fwd_block(128, interpret=False)
