@@ -543,6 +543,7 @@ def hand_fine_color_apply(
     interpret: bool = False,
     frozen: bool = False,
     layout: str = None,
+    stash: bool = None,
 ):
     """(sdf, grad, color) via the COLOR-fused fine pass
     (ops/fused_fine_full.hand_fine_color): embedding, trunk, spatial
@@ -552,7 +553,13 @@ def hand_fine_color_apply(
     frozen=True (the pose-fitting stage): the backward kernel skips the
     23 dW = X^T dY matmuls and their f32 VMEM accumulators and returns
     ZERO cotangents for the net params — only pose/point gradients are
-    valid in this mode."""
+    valid in this mode.
+
+    stash (round 5, default via HONERF_FINE_STASH): the VJP forward
+    emits the trunk/u-chain/color residuals and the backward streams
+    them instead of rematerializing the forward per block — bit-exact,
+    ~1/3 less backward MXU work for ~29 KB/row of pipelined HBM
+    traffic (ops/fused_fine_full.FineMeta.stash)."""
     from honerf_tpu.ops.fused_fine_full import (
         FineMeta,
         color_row_map,
@@ -569,6 +576,9 @@ def hand_fine_color_apply(
         # to the XLA path by the test suite — the default tracks the
         # faster one on the measured hardware (BENCH_NOTES round 4).
         layout = os.environ.get("HONERF_FINE_LAYOUT", "piece")
+    if stash is None:
+        # residual-stash backward (bit-exact; BENCH_NOTES round 5)
+        stash = os.environ.get("HONERF_FINE_STASH", "0") == "1"
     rotT, off, _cut = pack_hand_pose(bt_inv, t_pose_21)
     ws, bs = _fine_trunk_weights(params["sdf"], sdf_cfg)
     meta = FineMeta(
@@ -581,6 +591,7 @@ def hand_fine_color_apply(
         grad_L=color_cfg.grad_multires,
         want_dw=not frozen,
         layout=layout,
+        stash=stash,
     )
     assert color_cfg.input_width == (
         meta.emb_width + (meta.d_out - 1) + 3 + 6 * meta.grad_L

@@ -274,13 +274,19 @@ def _softplus_beta(z):
 
 def _kernel_fwd_body(meta: TrunkMeta, e, ws, bs):
     """Shared forward + u-chain on one block (values stay in VMEM).
-    Returns (out, u, ss, ins_small) — the latter two for the bwd kernel."""
+    Returns (out, u, ss, ins, ts, cs, acts) — the middle four for the
+    bwd kernel; `acts` are the RAW post-softplus activations a_1..a_{n-1}
+    (cast dtype, pre-skip-concat) for the residual-stash handoff
+    (fused_fine_full stash mode): ins[skip] is the *scaled concat*
+    [a|e]/sqrt(2), so the raw a at the skip is not recoverable from
+    `ins` bit-exactly."""
     n, H = meta.n_layers, meta.d_hidden
     Ep = e.shape[1]
     Hp = _round_up(H, _LANE)
     a = e
     ss: List[Any] = []
     ins: List[Any] = []
+    acts: List[Any] = []
     z_last = None
     for l in range(n):
         x = (jnp.concatenate([a, e], axis=-1) * INV_SQRT2
@@ -291,6 +297,7 @@ def _kernel_fwd_body(meta: TrunkMeta, e, ws, bs):
             s = jax.nn.sigmoid(BETA * z)
             ss.append(s)
             a = _softplus_beta(z).astype(_cast(meta))
+            acts.append(a)
         else:
             z_last = z
     # u-chain downward (t_{n-1} = onehot sdf column)
@@ -313,7 +320,7 @@ def _kernel_fwd_body(meta: TrunkMeta, e, ws, bs):
             ts[l - 1] = c * ss[l - 1]
         else:
             u = u + c
-    return z_last, u, ss, ins, ts, cs
+    return z_last, u, ss, ins, ts, cs, acts
 
 
 def _make_fwd_kernel(meta: TrunkMeta):
@@ -324,7 +331,7 @@ def _make_fwd_kernel(meta: TrunkMeta):
         bs = refs[n:2 * n]
         out_ref, u_ref = refs[2 * n], refs[2 * n + 1]
         e = e_ref[:]
-        out, u, _, _, _, _ = _kernel_fwd_body(
+        out, u, _, _, _, _, _ = _kernel_fwd_body(
             meta, e, [w[:] for w in ws], [b[:] for b in bs])
         out_ref[:] = out
         u_ref[:] = u
@@ -345,7 +352,7 @@ def _trunk_bwd_block(meta: TrunkMeta, e, dout, du, ws, bs, fwd=None,
     n, H = meta.n_layers, meta.d_hidden
     Hp = _round_up(H, _LANE)
     if fwd is None:
-        _, _, ss, ins, ts, cs = _kernel_fwd_body(meta, e, ws, bs)
+        _, _, ss, ins, ts, cs, _ = _kernel_fwd_body(meta, e, ws, bs)
     else:
         ss, ins, ts, cs = fwd
 

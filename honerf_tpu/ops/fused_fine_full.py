@@ -107,6 +107,25 @@ class FineMeta(NamedTuple):
     # public semantics are unchanged.  with_color only (the slot e is
     # never exposed).
     layout: str = "piece"
+    # stash=True (round 5): the VJP forward additionally emits the
+    # trunk/u-chain/color residuals to HBM and the backward kernel
+    # STREAMS them back instead of rematerializing the whole forward
+    # per block — removing the trunk-fwd + u-chain + color-fwd matmuls
+    # (~1/3 of the bwd kernel's MXU work) at the price of ~29 KB/row of
+    # HBM traffic that pipelines under the remaining compute.  The
+    # embedding stages (VPU-only, overlapped with the MXU) are still
+    # recomputed.  The rewrite is EXACT math: f32 stash for values
+    # consumed by f32 elementwise math (ss, cs, u, sigmoid), trunk/color
+    # activations stashed in their in-kernel cast dtype (they only ever
+    # feed matmul operands, which cast identically) — block-level
+    # bit-exactness is pinned by test_stash_block_body_bit_exact.  The
+    # integrated op may differ from the recompute path by compiler
+    # scheduling rounding only (different programs => XLA/Mosaic may
+    # reassociate f32 chains differently; measured ~1e-7 relative, far
+    # below the op's bf16 matmul noise).  Public semantics unchanged;
+    # the primal (non-VJP) forward never emits the stash.  with_color
+    # only.
+    stash: bool = False
 
     @property
     def emb_width(self) -> int:
@@ -182,6 +201,31 @@ class FineMeta(NamedTuple):
             dims.append((d_in, d_o))
             d_in = d_o
         return tuple(dims)
+
+    def stash_specs(self) -> Tuple[Tuple[str, int, str], ...]:
+        """(name, width, dtype) of the residual-stash arrays, in kernel
+        I/O order (stash=True).  Dtypes: 'cast' follows the trunk dtype
+        (values that only feed matmul operands — bit-exact under the
+        matmul's own cast), 'f32' for values consumed by f32 elementwise
+        statements.  want_dw=False (frozen nets) drops the arrays only
+        the dW matmuls need (trunk ins, color-input feat)."""
+        assert self.with_color, "stash requires with_color"
+        Hp = _round_up(self.d_hidden, _LANE)   # in-kernel padded widths
+        cHp = _round_up(self.c_hidden, _LANE)
+        n = self.n_layers
+        Ekp = _round_up(self.e_kernel_width, _LANE)
+        specs = []
+        if self.want_dw:
+            specs.append(("ins", (n - 1) * Hp, "cast"))  # raw a_1..a_{n-1}
+        specs.append(("ss", (n - 1) * Hp, "f32"))         # sigmoid(beta z)
+        specs.append(("cs", (n - 1) * Hp, "f32"))         # u-chain cs[1..]
+        specs.append(("u", Ekp, "f32"))                   # d sdf / d e
+        if self.want_dw:
+            specs.append(("feat", self.d_out - 1, "cast"))  # out[:, 1:]
+        specs.append(("cacts", (self.c_layers - 1) * cHp,
+                      "cast"))                            # color relu acts
+        specs.append(("sig", 8, "f32"))                   # color sigmoid
+        return tuple(specs)
 
 
 def color_row_map(meta: FineMeta) -> np.ndarray:
@@ -826,18 +870,31 @@ def _color_fwd_block(meta: FineMeta, x, cws, cbs, with_residuals=False):
 
 
 def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None,
-                     want_dw: bool = True):
+                     want_dw: bool = True, res_stash=None):
     """Transpose of the color MLP at cotangent dcolor.
     Returns (dx, dcws, dcbs); want_dw=False skips the weight grads
-    (frozen nets) and returns (dx, None, None)."""
+    (frozen nets) and returns (dx, None, None).
+
+    res_stash=(sig8, acts) is the streamed-residual form (stash mode):
+    sig8 (B, 8) holds the forward's sigmoid output (real lanes; the
+    junk-lane values are irrelevant because dcolor is zero there) and
+    the relu masks are derived from the stashed activations
+    (acts[l] > 0 == z > 0; for bf16 activations this differs only on
+    the measure-zero band of positive f32 z below the smallest positive
+    bf16, ~1e-40)."""
     tm = meta.trunk_meta
     n = meta.c_layers
-    if res is None:
-        _, zs, acts = _color_fwd_block(meta, x, cws, cbs,
-                                       with_residuals=True)
+    if res_stash is not None:
+        sig8, acts = res_stash
+        zs = None
+        sig = jnp.pad(sig8, ((0, 0), (0, dcolor.shape[1] - sig8.shape[1])))
     else:
-        zs, acts = res
-    sig = jax.nn.sigmoid(zs[-1])
+        if res is None:
+            _, zs, acts = _color_fwd_block(meta, x, cws, cbs,
+                                           with_residuals=True)
+        else:
+            zs, acts = res
+        sig = jax.nn.sigmoid(zs[-1])
     dz = sig * (1.0 - sig) * dcolor
     dcws = [None] * n
     dcbs = [None] * n
@@ -847,7 +904,8 @@ def _color_bwd_block(meta: FineMeta, x, cws, cbs, dcolor, res=None,
             dcbs[l] = jnp.sum(dz, axis=0, keepdims=True)
         da = FT._mm_t(tm, dz, cws[l])
         if l > 0:
-            dz = jnp.where(zs[l - 1] > 0.0, da, 0.0)
+            mask = (acts[l] > 0.0) if zs is None else (zs[l - 1] > 0.0)
+            dz = jnp.where(mask, da, 0.0)
         else:
             dx = da
     if not want_dw:
@@ -873,14 +931,15 @@ def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
         assert meta.with_color, "slot layout never exposes e"
         st = _emb_fwd_block_slots(p8, rotT, off, cut, meta)
         e_pad = st["e"].astype(FT._cast(tm))  # already lane-aligned
-        out, u, ss, ins, ts, cs = FT._kernel_fwd_body(
+        out, u, ss, ins, ts, cs, acts = FT._kernel_fwd_body(
             tm, e_pad, list(ws), list(bs))
+        u_pad = u
         g8, chain = _emb_rev_block_slots(st, rotT, u, meta)
     else:
         Ep = _round_up(E, _LANE)
         st = _emb_fwd_block(p8, rotT, off, cut, meta)
         e_pad = jnp.pad(st["e"], ((0, 0), (0, Ep - E))).astype(FT._cast(tm))
-        out, u_pad, ss, ins, ts, cs = FT._kernel_fwd_body(
+        out, u_pad, ss, ins, ts, cs, acts = FT._kernel_fwd_body(
             tm, e_pad, list(ws), list(bs))
         u = u_pad[:, :E]
         g8, chain = _emb_rev_block(st, rotT, u, meta)
@@ -902,12 +961,63 @@ def _fine_fwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     color = color_res[0]
     if with_residuals:
         return out, g8, color, (st, u, chain, (ss, ins, ts, cs), x,
-                                color_res[1:])
+                                color_res[1:], (acts, u_pad, color))
     return out, g8, color
 
 
+def _build_stash(meta: FineMeta, res):
+    """Pack the forward residuals of one block into the stash arrays
+    (meta.stash_specs order).  Values are EXACTLY the in-kernel
+    intermediates: 'cast'-dtype arrays are already that dtype in the
+    forward; f32 arrays are stored untouched."""
+    tm = meta.trunk_meta
+    cast = FT._cast(tm)
+    out, _g8, _color, (st, _u, _chain, (ss, _ins, _ts, cs), _x,
+                       _cres, (acts, u_pad, color)) = res
+    Ekp = _round_up(meta.e_kernel_width, _LANE)
+    if u_pad.shape[1] != Ekp:
+        u_pad = jnp.pad(u_pad, ((0, 0), (0, Ekp - u_pad.shape[1])))
+    _zs, cacts = _cres
+    vals = {
+        "ins": lambda: jnp.concatenate(
+            [a.astype(cast) for a in acts], axis=-1),
+        "ss": lambda: jnp.concatenate(ss, axis=-1),
+        "cs": lambda: jnp.concatenate(cs[1:], axis=-1),
+        "u": lambda: u_pad,
+        "feat": lambda: out[:, 1:meta.d_out].astype(cast),
+        "cacts": lambda: jnp.concatenate(
+            [a.astype(cast) for a in cacts[1:]], axis=-1),
+        "sig": lambda: color[:, :8].astype(jnp.float32),
+    }
+    return tuple(vals[name]() for name, _w, _d in meta.stash_specs())
+
+
+def _unpack_stash(meta: FineMeta, stash):
+    """Inverse of _build_stash for one block: returns a dict of the
+    reconstructed per-layer lists the backward statements consume."""
+    Hp = _round_up(meta.d_hidden, _LANE)
+    cHp = _round_up(meta.c_hidden, _LANE)
+    n = meta.n_layers
+    named = {name: arr for (name, _w, _d), arr
+             in zip(meta.stash_specs(), stash)}
+    out = {}
+    out["ss"] = [named["ss"][:, l * Hp:(l + 1) * Hp] for l in range(n - 1)]
+    cs = [None] + [named["cs"][:, l * Hp:(l + 1) * Hp]
+                   for l in range(n - 1)]
+    out["cs"] = cs
+    out["u_pad"] = named["u"]
+    out["cacts"] = [named["cacts"][:, l * cHp:(l + 1) * cHp]
+                    for l in range(meta.c_layers - 1)]
+    out["sig"] = named["sig"]
+    if meta.want_dw:
+        out["acts"] = [named["ins"][:, l * Hp:(l + 1) * Hp]
+                       for l in range(n - 1)]
+        out["feat"] = named["feat"]
+    return out
+
+
 def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
-                    dout, dg8, dthird, cws=(), cbs=()):
+                    dout, dg8, dthird, cws=(), cbs=(), stash=None):
     """One block of the fully-fused backward.
 
     Cotangents: dout on out (B, OUTp; with_color: only col 0 = sdf is
@@ -915,15 +1025,115 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
     (no-color: on the e output, (B, Ep)) or dcolor (with_color,
     (B, out_pad)).
     Returns (dp8, dws, dbs, drotT_blk, doff_blk[, dcws, dcbs]);
-    with meta.want_dw=False the dws/dbs/dcws/dcbs slots are None."""
+    with meta.want_dw=False the dws/dbs/dcws/dcbs slots are None.
+
+    stash (meta.stash): the forward's streamed residual arrays for this
+    block (meta.stash_specs order).  The trunk forward, u-chain and
+    color forward are NOT recomputed — their intermediates come from
+    the stash; only the embedding stages (VPU-only) and the reverse
+    chain (needs only st + the stashed u) are rebuilt in-block.
+    Numerics are bit-exact vs the recompute path (see FineMeta.stash)."""
     tm = meta.trunk_meta
     E = meta.emb_width
     Ek = meta.e_kernel_width
     slot = meta.layout == "slot"
+    if stash is not None:
+        assert meta.with_color, "stash requires with_color"
+        sv = _unpack_stash(meta, stash)
+        H = meta.d_hidden
+        n = meta.n_layers
+        # embedding stages + reverse chain: VPU-only recompute
+        if slot:
+            st = _emb_fwd_block_slots(p8, rotT, off, cut, meta)
+            u = sv["u_pad"][:, :Ek]
+            g8, chain = _emb_rev_block_slots(st, rotT, u, meta)
+        else:
+            st = _emb_fwd_block(p8, rotT, off, cut, meta)
+            u = sv["u_pad"][:, :E]
+            g8, chain = _emb_rev_block(st, rotT, u, meta)
+        e_cast = st["e"].astype(FT._cast(tm))
+        Ekp = _round_up(Ek, _LANE)
+        e_pad_c = (e_cast if e_cast.shape[1] == Ekp else
+                   jnp.pad(e_cast, ((0, 0), (0, Ekp - e_cast.shape[1]))))
+        # trunk residuals from the stash (ts[l-1] = cs[l] * ss[l-1] is
+        # exactly the forward's own statement; ts[n-1] is the onehot)
+        ss = sv["ss"]
+        cs = sv["cs"]
+        ts = [cs[l] * ss[l - 1] for l in range(1, n)]
+        OUTp = _round_up(meta.d_out, _LANE)
+        t_last = (jax.lax.broadcasted_iota(
+            jnp.int32, (p8.shape[0], OUTp), 1) == 0).astype(jnp.float32)
+        ts = ts + [t_last]
+        if meta.want_dw:
+            acts = sv["acts"]
+            ins = [None] * n
+            ins[0] = e_pad_c
+            for l in range(1, n):
+                if l == meta.skip:
+                    ins[l] = jnp.concatenate(
+                        [acts[l - 1], e_pad_c], axis=-1) * INV_SQRT2
+                else:
+                    ins[l] = acts[l - 1]
+            # color input x (dW operand): e | feat | grad(+PE)
+            feat = sv["feat"]
+            gpe = (_gpe_block_slot(meta, g8) if slot
+                   else _gpe_block(meta, g8))
+            x = jnp.concatenate(
+                [st["e"], feat.astype(st["e"].dtype), gpe], axis=-1)
+            CXp = _round_up(meta.color_in_kernel, _LANE)
+            x = jnp.pad(x, ((0, 0), (0, CXp - x.shape[1])))
+            c_acts = [x.astype(FT._cast(tm))] + sv["cacts"]
+        else:
+            ins = [None] * n
+            x = None
+            c_acts = [None] + sv["cacts"]
+        trunk_fwd = (ss, ins, ts, cs)
+        dx, dcws, dcbs = _color_bwd_block(
+            meta, x, list(cws), list(cbs), dthird,
+            want_dw=meta.want_dw, res_stash=(sv["sig"], c_acts))
+        F = meta.d_out - 1
+        de_ext = dx[:, :Ek]
+        dfeat = dx[:, Ek:Ek + F]
+        dgpe = dx[:, Ek + F:Ek + F + meta.gpe_width]
+        dg8 = dg8 + (_gpe_transpose_slot(meta, g8, dgpe) if slot
+                     else _gpe_transpose(meta, g8, dgpe))
+        out_pad = dout.shape[1]
+        dout = dout + jnp.pad(dfeat, ((0, 0), (1, out_pad - 1 - F)))
+        # 1. transpose of the reverse chain at cotangent dg
+        if slot:
+            du, adj, drotT_direct = _emb_rev_transpose_block_slots(
+                st, chain, rotT, u, dg8, meta)
+            e_pad = e_cast
+            du_pad = du
+        else:
+            du, adj, drotT_direct = _emb_rev_transpose_block(
+                st, chain, rotT, u, dg8, meta)
+            Ep = _round_up(E, _LANE)
+            e_pad = (e_cast if e_cast.shape[1] == Ep else
+                     jnp.pad(e_cast, ((0, 0), (0, Ep - e_cast.shape[1]))))
+            du_pad = jnp.pad(du, ((0, 0), (0, Ep - du.shape[1])))
+        # 2. trunk backward with cotangents (dout, du)
+        de_trunk, dws, dbs = FT._trunk_bwd_block(
+            tm, e_pad, dout, du_pad, list(ws), list(bs), fwd=trunk_fwd,
+            want_dw=meta.want_dw)
+        # 3. embedding-forward transpose
+        if slot:
+            de_total = de_trunk + de_ext.astype(jnp.float32)
+            dq = _emb_fwd_transpose_block_slots(st, de_total, adj, cut,
+                                                meta)
+        else:
+            de_total = de_trunk[:, :E] + de_ext.astype(jnp.float32)
+            dq = _emb_fwd_transpose_block(st, de_total, adj, cut, meta)
+        # 4. pose / point adjoints
+        dp8 = jnp.dot(dq, rotT.T, preferred_element_type=jnp.float32)
+        drotT_blk = drotT_direct + jnp.dot(
+            p8.T, dq, preferred_element_type=jnp.float32)
+        doff_blk = jnp.sum(dq, axis=0, keepdims=True)
+        return dp8, dws, dbs, drotT_blk, doff_blk, dcws, dcbs
     res = _fine_fwd_block(meta, p8, rotT, off, cut, ws, bs, cws, cbs,
                           with_residuals=True)
     if meta.with_color:
-        out, g8, _color, (st, u, chain, trunk_fwd, x, cres) = res
+        out, g8, _color, (st, u, chain, trunk_fwd, x, cres, _sx) = res
         # 0. color transpose -> de/dfeat/dg contributions
         dx, dcws, dcbs = _color_bwd_block(meta, x, list(cws), list(cbs),
                                           dthird, res=cres,
@@ -976,9 +1186,10 @@ def _fine_bwd_block(meta: FineMeta, p8, rotT, off, cut, ws, bs,
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(meta: FineMeta):
+def _make_fwd_kernel(meta: FineMeta, stash: bool = False):
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
+    assert not stash or meta.with_color
 
     def kernel(p_ref, rotT_ref, off_ref, cut_ref, *refs):
         ws = [r[:] for r in refs[:n]]
@@ -990,6 +1201,7 @@ def _make_fwd_kernel(meta: FineMeta):
             # three lane-padded (N, 128) outputs cost ~2 ms/step of
             # XLA relayout slices downstream (profiled)
             packed_ref = refs[2 * n + 2 * cn]
+            stash_refs = refs[2 * n + 2 * cn + 1:] if stash else ()
         else:
             out_ref = refs[2 * n + 2 * cn]
             g_ref = refs[2 * n + 2 * cn + 1]
@@ -998,9 +1210,17 @@ def _make_fwd_kernel(meta: FineMeta):
         sub = B // meta.n_split
         for i in range(meta.n_split):
             rows = slice(i * sub, (i + 1) * sub)
-            out, g8, third = _fine_fwd_block(
-                meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
-                cut_ref[:], ws, bs, cws, cbs)
+            if stash:
+                res = _fine_fwd_block(
+                    meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
+                    cut_ref[:], ws, bs, cws, cbs, with_residuals=True)
+                out, g8, third = res[0], res[1], res[2]
+                for ref, arr in zip(stash_refs, _build_stash(meta, res)):
+                    ref[rows, :] = arr.astype(ref.dtype)
+            else:
+                out, g8, third = _fine_fwd_block(
+                    meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
+                    cut_ref[:], ws, bs, cws, cbs)
             if meta.with_color:
                 packed_ref[rows, :] = jnp.concatenate(
                     [out[:, :1], g8[:, :3], third[:, :3],
@@ -1012,6 +1232,10 @@ def _make_fwd_kernel(meta: FineMeta):
                     g8, ((0, 0), (0, _LANE - g8.shape[1])))
 
     return kernel
+
+
+def _stash_dtype(meta: FineMeta, d: str):
+    return (jnp.float32 if d == "f32" else FT._cast(meta.trunk_meta))
 
 
 #: Ablation hook (scripts/bench_fine_ablate2.py): "add" is production;
@@ -1097,6 +1321,7 @@ def _make_bwd_kernel(meta: FineMeta):
     want_dw = meta.want_dw
     staged = (want_dw and _DW_STAGE > 0 and meta.dtype == "bf16")
     scratch_acc = want_dw and not staged and _DW_PLACE == "scratch"
+    n_stash = len(meta.stash_specs()) if meta.stash else 0
 
     def body(p_ref, dout_ref, dg_ref, dthird_ref, rotT_ref, off_ref,
              cut_ref, *refs):
@@ -1104,7 +1329,8 @@ def _make_bwd_kernel(meta: FineMeta):
         bs = [r[:] for r in refs[n:2 * n]]
         cws = [r[:] for r in refs[2 * n:2 * n + cn]]
         cbs = [r[:] for r in refs[2 * n + cn:2 * n + 2 * cn]]
-        o = 2 * n + 2 * cn
+        stash_refs = refs[2 * n + 2 * cn:2 * n + 2 * cn + n_stash]
+        o = 2 * n + 2 * cn + n_stash
         dp_ref = refs[o]
         if want_dw:
             out_dw_refs = refs[o + 1:o + 1 + n]
@@ -1145,9 +1371,12 @@ def _make_bwd_kernel(meta: FineMeta):
                 dout_v = dout_ref[rows, :]
                 dg_v = dg_ref[rows, :8]
                 dthird_v = dthird_ref[rows, :]
+            stash_v = (tuple(r[rows, :] for r in stash_refs)
+                       if n_stash else None)
             res = _fine_bwd_block(
                 meta, p_ref[rows, :], rotT_ref[:], off_ref[:],
-                cut_ref[:], ws, bs, dout_v, dg_v, dthird_v, cws, cbs)
+                cut_ref[:], ws, bs, dout_v, dg_v, dthird_v, cws, cbs,
+                stash=stash_v)
             if meta.with_color:
                 dp8, dws_i, dbs_i, drotT_i, doff_i, dcws_i, dcbs_i = res
             else:
@@ -1293,20 +1522,30 @@ def _pad_color_weights(cws, cbs, meta: FineMeta):
     return tuple(wps), tuple(bps)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("meta", "block", "interpret",
+                                             "stash"))
 def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
-              block, interpret):
+              block, interpret, stash=False):
     N = p8.shape[0]
     Ep = _round_up(meta.emb_width, _LANE)
     op = _round_up(meta.d_out, _LANE)
     e_dtype = jnp.bfloat16 if meta.dtype == "bf16" else jnp.float32
     flops = 4 * N * sum(w.shape[0] * w.shape[1]
                         for w in list(wps) + list(cwps))
+    stash_bytes = 0
     if meta.with_color:
         # ONE packed (N, 8) output [sdf | g | color | 0]
-        out_shape = (jax.ShapeDtypeStruct((N, 8), jnp.float32),)
-        out_specs = (_rows(block, 8),)
+        out_shape = [jax.ShapeDtypeStruct((N, 8), jnp.float32)]
+        out_specs = [_rows(block, 8)]
+        if stash:
+            for _name, w, d in meta.stash_specs():
+                dt = _stash_dtype(meta, d)
+                out_shape.append(jax.ShapeDtypeStruct((N, w), dt))
+                out_specs.append(_rows(block, w))
+                stash_bytes += N * w * np.dtype(dt).itemsize
+        out_shape, out_specs = tuple(out_shape), tuple(out_specs)
     else:
+        assert not stash
         out_shape = (
             jax.ShapeDtypeStruct((N, op), jnp.float32),
             jax.ShapeDtypeStruct((N, _LANE), jnp.float32),
@@ -1315,7 +1554,7 @@ def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
         out_specs = (_rows(block, op), _rows(block, _LANE),
                      _rows(block, Ep))
     return pl.pallas_call(
-        _make_fwd_kernel(meta),
+        _make_fwd_kernel(meta, stash=stash),
         out_shape=out_shape,
         grid=(N // block,),
         in_specs=([_rows(block, 8), _const(rotT.shape), _const(off.shape),
@@ -1326,7 +1565,8 @@ def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
                   + [_const(b.shape) for b in cbps]),
         out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=N * (Ep + op + _LANE) * 4,
+            flops=flops,
+            bytes_accessed=N * (Ep + op + _LANE) * 4 + stash_bytes,
             transcendentals=N * (meta.d_hidden * (meta.n_layers - 1)
                                  + 2 * 84 + 21),
         ),
@@ -1339,11 +1579,14 @@ def _fwd_call(p8, rotT, off, cut, wps, bps, cwps, cbps, meta: FineMeta,
 
 @functools.partial(jax.jit, static_argnames=("meta", "block", "interpret"))
 def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
-              meta: FineMeta, block, interpret):
+              meta: FineMeta, block, interpret, stash=()):
     N = p8.shape[0]
     Ep = _round_up(meta.emb_width, _LANE)
-    flops = 12 * N * sum(w.shape[0] * w.shape[1]
-                         for w in list(wps) + list(cwps))
+    # stash mode removes the trunk/u-chain/color forward recompute:
+    # 12x the fwd matmul flops drop to ~8x
+    flops = ((8 if meta.stash else 12)
+             * N * sum(w.shape[0] * w.shape[1]
+                       for w in list(wps) + list(cwps)))
     n = meta.n_layers
     cn = meta.c_layers if meta.with_color else 0
     # dp is (N, 8): only 3 real columns — lane-padding it to 128 costs
@@ -1396,6 +1639,14 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
             pltpu.VMEM(a.shape, jnp.float32)
             for a in (list(wps) + list(bps) + list(cwps) + list(cbps))
         )
+    if meta.stash:
+        assert len(stash) == len(meta.stash_specs())
+        stash_specs = [_rows(block, a.shape[1]) for a in stash]
+        stash_bytes = sum(a.size * a.dtype.itemsize for a in stash)
+    else:
+        assert not stash
+        stash_specs = []
+        stash_bytes = 0
     outs = pl.pallas_call(
         _make_bwd_kernel(meta),
         out_shape=tuple(out_shapes),
@@ -1406,11 +1657,13 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
                   + [_const(w.shape) for w in wps]
                   + [_const(b.shape) for b in bps]
                   + [_const(w.shape) for w in cwps]
-                  + [_const(b.shape) for b in cbps]),
+                  + [_const(b.shape) for b in cbps]
+                  + stash_specs),
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=N * (2 * Ep + _LANE) * 4,
+            flops=flops,
+            bytes_accessed=N * (2 * Ep + _LANE) * 4 + stash_bytes,
             transcendentals=2 * N * (meta.d_hidden * (meta.n_layers - 1)
                                      + 2 * 84 + 21),
         ),
@@ -1422,7 +1675,7 @@ def _bwd_call(p8, dout, dg, dthird, rotT, off, cut, wps, bps, cwps, cbps,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(p8, *ct_args, rotT, off, cut, *wps, *bps, *cwps, *cbps)
+    )(p8, *ct_args, rotT, off, cut, *wps, *bps, *cwps, *cbps, *stash)
     dp = outs[0]
     if not meta.want_dw:
         return dp, (), (), outs[1], outs[2], (), ()
@@ -1478,7 +1731,7 @@ def _fwd_block(block: int, interpret: bool) -> int:
 
 
 def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
-                cws=(), cbs=()):
+                cws=(), cbs=(), stash=False):
     N = pts.shape[0]
     block = _fwd_block(block, interpret)
     Np = _round_up(max(N, block), block)
@@ -1493,9 +1746,14 @@ def _fwd_padded(pts, rotT, off, ws, bs, meta, block, interpret,
                   else ((), ()))
     outs = _fwd_call(p8, rotT.astype(jnp.float32),
                      off.astype(jnp.float32), cut, wps, bps,
-                     cwps, cbps, meta, block, interpret)
+                     cwps, cbps, meta, block, interpret, stash=stash)
     if meta.with_color:
         packed = outs[0]
+        if stash:
+            # the stash stays FULL-Np (the bwd grid consumes it
+            # unsliced — a row slice here would copy ~1.6 GB in XLA)
+            return (packed[:N, 0], packed[:N, 1:4], packed[:N, 4:7],
+                    cut, tuple(outs[1:]))
         return packed[:N, 0], packed[:N, 1:4], packed[:N, 4:7], cut
     out, g, third = outs
     E = meta.emb_width
@@ -1510,14 +1768,26 @@ def _vjp_fwd(pts, rotT, off, ws, bs, meta, block, interpret):
 
 
 def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
-                dout_full, dg, dthird, cws=(), cbs=()):
+                dout_full, dg, dthird, cws=(), cbs=(), stash=()):
     """Shared padded backward: dout_full is the (N, d_out) cotangent on
-    the full trunk output (with_color: only col 0 nonzero externally)."""
+    the full trunk output (with_color: only col 0 nonzero externally).
+
+    stash: the forward's residual arrays (meta.stash) — FULL-Np rows
+    from the forward's (possibly larger) block padding; the bwd grid
+    covers those rows (padded rows carry finite garbage with ZERO
+    cotangents, so their dW/pose contributions vanish exactly, same as
+    the recompute path's zero-padded rows)."""
     N = pts.shape[0]
     E = meta.emb_width
     Ep = _round_up(E, _LANE)
     op = _round_up(meta.d_out, _LANE)
     Np = _round_up(max(N, block), block)
+    if stash:
+        assert meta.stash
+        Np_s = stash[0].shape[0]
+        assert Np_s % block == 0 and Np_s >= Np, (
+            f"stash rows {Np_s} not a multiple of bwd block {block}")
+        Np = Np_s
     p8 = jnp.pad(pts.astype(jnp.float32), ((0, Np - N), (0, 5)))
     cut = jnp.pad(BONE_CUTOFFS, (0, _LANE - 21))[None, :].astype(jnp.float32)
     if meta.with_color:
@@ -1545,7 +1815,7 @@ def _bwd_padded(meta, block, interpret, pts, rotT, off, ws, bs,
     dp, dws, dbs, drotT, doff, dcws, dcbs = _bwd_call(
         p8, dout_p, dg_p, dthird_p, rotT.astype(jnp.float32),
         off.astype(jnp.float32), cut, wps, bps, cwps, cbps, meta, block,
-        interpret)
+        interpret, stash=stash)
     if not meta.want_dw:
         # frozen nets: weight cotangents are ZERO by contract.  With
         # HONERF_DEBUG_FROZEN_NAN=1 they are NaN-poisoned instead so a
@@ -1613,19 +1883,25 @@ def hand_fine_color(pts, rotT, off, ws, bs, cws, cbs, meta: FineMeta,
 
 def _vjp_color_fwd(pts, rotT, off, ws, bs, cws, cbs, meta, block,
                    interpret):
-    sdf, g, color, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta,
-                                      block, interpret, cws, cbs)
-    return (sdf, g, color), (pts, rotT, off, ws, bs, cws, cbs)
+    if meta.stash:
+        sdf, g, color, _cut, stash = _fwd_padded(
+            pts, rotT, off, ws, bs, meta, block, interpret, cws, cbs,
+            stash=True)
+    else:
+        sdf, g, color, _cut = _fwd_padded(pts, rotT, off, ws, bs, meta,
+                                          block, interpret, cws, cbs)
+        stash = ()
+    return (sdf, g, color), (pts, rotT, off, ws, bs, cws, cbs, stash)
 
 
 def _vjp_color_bwd(meta, block, interpret, res, cts):
-    pts, rotT, off, ws, bs, cws, cbs = res
+    pts, rotT, off, ws, bs, cws, cbs, stash = res
     dsdf, dg, dcolor = cts
     N = pts.shape[0]
     # with_color packs [dsdf | dg | dcolor] — no (N, d_out) staging
     dp, drotT, doff, dws, dbs, dcws, dcbs = _bwd_padded(
         meta, block, interpret, pts, rotT, off, ws, bs,
-        dsdf.reshape(N, 1), dg, dcolor, cws, cbs)
+        dsdf.reshape(N, 1), dg, dcolor, cws, cbs, stash=stash)
     return (dp, drotT, doff, dws, dbs, dcws, dcbs)
 
 

@@ -680,3 +680,196 @@ def test_fwd_block_policy(monkeypatch):
     monkeypatch.setenv("HONERF_FINE_FWD_BLOCK", "banana")
     with pytest.raises(ValueError, match="HONERF_FINE_FWD_BLOCK"):
         FFF._fwd_block(128, interpret=False)
+
+
+def _stash_fixture():
+    from honerf_tpu.data.synthetic import canonical_hand_joints
+    from honerf_tpu.hand import bone_transforms_from_mano_joints
+    from honerf_tpu.models import (
+        ColorConfig,
+        init_color_params,
+    )
+
+    sdf_cfg, sdf_params = _small_net()
+    color_cfg = ColorConfig(kind="hand", d_feature=64, d_hidden=64,
+                            n_layers=2, v_multires=3, r_multires=2)
+    params = {
+        "sdf": sdf_params,
+        "color": init_color_params(jax.random.PRNGKey(1), color_cfg),
+    }
+    joints = jnp.asarray(canonical_hand_joints(0.3))
+    bt_inv = bone_transforms_from_mano_joints(joints[None])[0]
+    t_pose = jnp.asarray(canonical_hand_joints(0.0))
+    rng = np.random.default_rng(11)
+    center = np.asarray(joints.mean(0))
+    pts = jnp.asarray(
+        (rng.normal(size=(40, 3)) * 0.05 + center).astype(np.float32))
+    wmix = (
+        jnp.asarray(rng.normal(size=(40,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32)),
+    )
+    return sdf_cfg, color_cfg, params, bt_inv, t_pose, pts, wmix
+
+
+def _color_op_operands(sdf_cfg, color_cfg, params, bt_inv, t_pose,
+                       layout, frozen, dtype):
+    """Replicates hand_fine_color_apply's operand construction so the
+    block bodies can be driven directly (pure jnp, outside pallas)."""
+    from honerf_tpu.models.fields import (
+        _cm_index,
+        _fine_trunk_weights,
+        _gather_cols,
+        hand_embedding_width,
+        linear_weight,
+    )
+    from honerf_tpu.ops.fused_hand import pack_hand_pose
+
+    rotT, off, _ = pack_hand_pose(bt_inv, t_pose)
+    ws, bs = _fine_trunk_weights(params["sdf"], sdf_cfg)
+    meta = FF.FineMeta(
+        v_multires=sdf_cfg.v_multires, r_multires=sdf_cfg.r_multires,
+        d_hidden=sdf_cfg.d_hidden, n_layers=len(sdf_cfg.dims) - 1,
+        skip=sdf_cfg.skip_in[0], d_out=sdf_cfg.d_out, dtype=dtype,
+        with_color=True, c_hidden=color_cfg.d_hidden,
+        c_layers=len(color_cfg.dims) - 1,
+        grad_L=color_cfg.grad_multires, want_dw=not frozen,
+        layout=layout, stash=True)
+    clayers = list(params["color"]["layers"])
+    clayers[0] = _gather_cols(
+        clayers[0],
+        _cm_index(sdf_cfg.v_multires, sdf_cfg.r_multires, 0,
+                  color_cfg.input_width
+                  - hand_embedding_width(sdf_cfg.v_multires,
+                                         sdf_cfg.r_multires)))
+    W0 = linear_weight(clayers[0]).T
+    rows = FF.color_row_map(meta)
+    W0e = jnp.concatenate(
+        [W0, jnp.zeros((1, W0.shape[1]), W0.dtype)], axis=0)
+    idx = jnp.asarray(np.where(rows < 0, W0.shape[0], rows))
+    cws = (W0e[idx],) + tuple(linear_weight(l).T for l in clayers[1:])
+    cbs = tuple(l["b"] for l in clayers)
+    from honerf_tpu.ops import fused_fine as FT
+    if layout == "slot":
+        wps, bps = FF._pad_weights_slots(ws, bs, meta)
+    else:
+        wps, bps = FT._pad_weights(ws, bs, meta.trunk_meta)
+    cwps, cbps = FF._pad_color_weights(cws, cbs, meta)
+    from honerf_tpu.models.embedding import BONE_CUTOFFS
+    cut = jnp.pad(BONE_CUTOFFS,
+                  (0, 128 - 21))[None, :].astype(jnp.float32)
+    return meta, rotT.astype(jnp.float32), off.astype(jnp.float32), \
+        cut, wps, bps, cwps, cbps
+
+
+@pytest.mark.parametrize("layout", ["piece", "slot"])
+@pytest.mark.parametrize("dtype", ["f32", "bf16"])
+@pytest.mark.parametrize("frozen", [False, True])
+def test_stash_block_body_bit_exact(layout, dtype, frozen):
+    """The MATH of the round-5 streamed-residual backward is an exact
+    rewrite: on one block, _fine_bwd_block(stash=_build_stash(fwd)) is
+    BIT-IDENTICAL to the rematerializing _fine_bwd_block() — every
+    stashed value is either the f32 intermediate itself (ss, cs, u,
+    sigmoid) or an activation in its in-kernel cast dtype that only
+    feeds matmul operands.  Includes zero-padded tail rows (the fwd-
+    block-padding case the integrated op hits at N % block != 0).
+    The integrated-op check lives in test_stash_integrated_grads —
+    there the two pallas programs may differ by compiler scheduling
+    rounding (~1e-7), which this block-level pin excludes by running
+    both paths as plain jnp."""
+    sdf_cfg, color_cfg, params, bt_inv, t_pose, pts, _ = \
+        _stash_fixture()
+    meta, rotT, off, cut, wps, bps, cwps, cbps = _color_op_operands(
+        sdf_cfg, color_cfg, params, bt_inv, t_pose, layout, frozen,
+        dtype)
+    # 8 real rows + 24 zero-pad rows (cotangents zero there)
+    p8 = jnp.pad(pts[:8].astype(jnp.float32), ((0, 24), (0, 5)))
+    rng = np.random.default_rng(3)
+    OUTp = 128
+    dout = jnp.pad(jnp.asarray(rng.normal(size=(8, 1)).astype(np.float32)),
+                   ((0, 24), (0, OUTp - 1)))
+    dg8 = jnp.pad(jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
+                  ((0, 24), (0, 5)))
+    dthird = jnp.pad(
+        jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
+        ((0, 24), (0, 125)))
+    res = FF._fine_fwd_block(meta, p8, rotT, off, cut, list(wps),
+                             list(bps), list(cwps), list(cbps),
+                             with_residuals=True)
+    stash = FF._build_stash(meta, res)
+    for (name, w, d), arr in zip(meta.stash_specs(), stash):
+        assert arr.shape[1] == w, name
+        assert arr.dtype == FF._stash_dtype(meta, d), name
+    args = (meta, p8, rotT, off, cut, list(wps), list(bps), dout, dg8,
+            dthird, list(cwps), list(cbps))
+    r_ref = FF._fine_bwd_block(*args)
+    r_st = FF._fine_bwd_block(*args, stash=stash)
+    for a, b in zip(jax.tree.leaves(r_ref), jax.tree.leaves(r_st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("layout", ["piece", "slot"])
+@pytest.mark.parametrize("frozen", [False, True])
+def test_stash_integrated_grads(layout, frozen):
+    """End-to-end through the custom VJP: stash=True == recompute for
+    params+pose grads ('full') / pose grads (frozen) up to compiler
+    scheduling rounding — the two backward PROGRAMS are different
+    kernels, so XLA may reassociate f32 chains differently (measured
+    <=5e-7 relative); the exact-math identity is pinned block-level by
+    test_stash_block_body_bit_exact."""
+    from honerf_tpu.models.fields import hand_fine_color_apply
+
+    sdf_cfg, color_cfg, params, bt_inv, t_pose, pts, wmix = \
+        _stash_fixture()
+    w1, w3, wc = wmix
+
+    def loss(p, bt, stash):
+        sdf, g, c = hand_fine_color_apply(
+            p, sdf_cfg, color_cfg, pts, bt, t_pose, block=32,
+            interpret=True, layout=layout, frozen=frozen, stash=stash)
+        return (jnp.sum(sdf * w1) + jnp.sum(g * w3) + jnp.sum(c * wc))
+
+    argnums = (1,) if frozen else (0, 1)
+    l_r, g_r = jax.value_and_grad(
+        lambda p, bt: loss(p, bt, False), argnums=argnums)(params, bt_inv)
+    l_s, g_s = jax.value_and_grad(
+        lambda p, bt: loss(p, bt, True), argnums=argnums)(params, bt_inv)
+    np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-6)
+    leaves_r = jax.tree.leaves(g_r)
+    leaves_s = jax.tree.leaves(g_s)
+    assert len(leaves_r) == len(leaves_s)
+    for a, b in zip(leaves_r, leaves_s):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   rtol=1e-5)
+
+
+def test_stash_integrated_grads_bf16():
+    """Same end-to-end check in the production bf16 trunk mode (piece
+    layout): the stash adds NO bf16-level noise — the observed delta
+    stays at f32 compiler-rounding scale (~1e-7), far below the op's
+    own bf16 matmul noise (~2e-3)."""
+    from honerf_tpu.models.fields import hand_fine_color_apply
+
+    sdf_cfg, color_cfg, params, bt_inv, t_pose, pts, wmix = \
+        _stash_fixture()
+    sdf_cfg = sdf_cfg._replace(trunk_dtype="bf16")
+    w1, w3, wc = wmix
+
+    def loss(p, bt, stash):
+        sdf, g, c = hand_fine_color_apply(
+            p, sdf_cfg, color_cfg, pts, bt, t_pose, block=32,
+            interpret=True, layout="piece", stash=stash)
+        return (jnp.sum(sdf * w1) + jnp.sum(g * w3) + jnp.sum(c * wc))
+
+    l_r, g_r = jax.value_and_grad(
+        lambda p, bt: loss(p, bt, False), argnums=(0, 1))(params, bt_inv)
+    l_s, g_s = jax.value_and_grad(
+        lambda p, bt: loss(p, bt, True), argnums=(0, 1))(params, bt_inv)
+    np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   rtol=1e-5)
